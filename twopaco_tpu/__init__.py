@@ -1,0 +1,36 @@
+"""twopaco_tpu — TPU-native compacted de Bruijn graph constructor.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+medvedevgroup/TwoPaCo (reference: /root/reference): streamed multi-FASTA
+input, two-pass junction detection via a multi-hash Bloom filter over
+(k+1)-mer edges with exact sorted verification of candidates, multi-round
+operation to bound filter memory, the 12-byte binary junction-position
+output format, and a graphdump converter (seq/group/dot/gfa1/gfa2/fasta).
+
+Architecture (TPU-first, not a port):
+  - host io layer parses FASTA to 2-bit codes and batches fixed-size
+    windows with k+1-char halos (reference: vertexenumerator.h:1108-1226);
+  - all per-position work (k-mer packing, canonical reverse complement,
+    hashing, Bloom probes) is vectorized JAX integer math over
+    (batch, positions) arrays — no rolling scan, every position computed
+    independently so XLA can tile onto the VPU;
+  - the Bloom filter lives in HBM as a flat array; fill is a scatter,
+    probe is a gather (reference: concurrentbitvector.h);
+  - exact candidate verification replaces the reference's 1024 mutexed
+    hash tables (vertexenumerator.h:63-90) with a device sort + segmented
+    reduction;
+  - junction ids are ranks in the sorted canonical k-mer dictionary,
+    making runs bit-deterministic (the reference is seeded from
+    /dev/urandom and is not; see SURVEY.md §5).
+"""
+
+import jax as _jax
+
+# All k-mer/hash math is explicit fixed-width integer arithmetic; several
+# paths (filter indices beyond 2^32, the int64 junction id format) need
+# 64-bit types, so x64 must be on before any tracing happens.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+INVALID_VERTEX = (1 << 63) - 1  # reference: common.cpp:5 (INT64_MAX)

@@ -1,0 +1,110 @@
+"""Vectorized FASTA reader with reference-identical validation semantics.
+
+Matches the reference parser (streamfastaparser.cpp:29-93):
+  - a record header is the first whitespace-delimited token after '>';
+  - whitespace inside sequence bodies is skipped;
+  - characters are uppercased, then validated against
+    "ACGTURYKMSWBDHWNXV"; anything else raises;
+  - non-ACGT valid characters are kept as the ambiguity code N.
+
+Unlike the reference's char-at-a-time loop, parsing here is a handful of
+numpy passes over the whole buffer (LUT gather + boolean compaction) —
+the host must keep up with TPU ingest, so the scalar loop is avoided.
+A native C++ path (native/) can replace this transparently.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from twopaco_tpu import dna
+
+
+class FastaError(RuntimeError):
+    pass
+
+
+def _parse_buffer(buf: np.ndarray, path: str) -> Iterator[tuple[str, np.ndarray]]:
+    for s, hdr_end, e in _record_spans(buf, path):
+        header_line = buf[s + 1 : hdr_end].tobytes().decode("latin-1")
+        header = header_line.split()[0] if header_line.split() else ""
+        body = buf[hdr_end + 1 : e] if hdr_end < e else buf[:0]
+        codes = dna.ENCODE_LUT[body]
+        if codes.size and codes.max() == 255:
+            bad = body[codes == 255][0]
+            raise FastaError(
+                f"{path}: found an invalid character {chr(bad)!r} "
+                f"in sequence {header}"
+            )
+        codes = codes[codes != 254]  # drop whitespace
+        yield header, codes
+
+
+def read_fasta(path: str | os.PathLike) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (header, codes uint8[0..4]) per record, in file order."""
+    buf = np.fromfile(os.fspath(path), dtype=np.uint8)
+    yield from _parse_buffer(buf, os.fspath(path))
+
+
+def read_all_records(
+    paths: Iterable[str | os.PathLike],
+) -> Iterator[tuple[int, str, np.ndarray]]:
+    """Stream (seq_id, header, codes) across multiple files, reference
+    ChrReader order (streamfastaparser.h:140-182): files in CLI order,
+    records in file order, seq_id global and 0-based."""
+    seq_id = 0
+    for path in paths:
+        for header, codes in read_fasta(path):
+            yield seq_id, header, codes
+            seq_id += 1
+
+
+# byte -> uppercased byte, 0 for whitespace (drop), 255 for invalid
+_UPPER_LUT = np.full(256, 255, dtype=np.uint8)
+for _ws in b" \t\r\n\v\f":
+    _UPPER_LUT[_ws] = 0
+for _ch in dna.VALID_CHARS:
+    _UPPER_LUT[ord(_ch)] = ord(_ch)
+    _UPPER_LUT[ord(_ch.lower())] = ord(_ch)
+
+
+def read_sequences_text(paths: Iterable[str | os.PathLike]) -> Iterator[str]:
+    """Yield validated, uppercased sequence text per record, preserving
+    ambiguity letters (graphdump spells segment bodies from this text,
+    reference ChrReader at streamfastaparser.h:151 keeps e.g. 'Y' as 'Y')."""
+    for path in paths:
+        buf = np.fromfile(os.fspath(path), dtype=np.uint8)
+        for s, hdr_end, e in _record_spans(buf, os.fspath(path)):
+            body = buf[hdr_end + 1 : e] if hdr_end < e else buf[:0]
+            up = _UPPER_LUT[body]
+            if up.size and up.max() == 255:
+                bad = body[up == 255][0]
+                raise FastaError(
+                    f"{os.fspath(path)}: found an invalid character "
+                    f"{chr(bad)!r}"
+                )
+            yield up[up != 0].tobytes().decode("latin-1")
+
+
+def _record_spans(buf: np.ndarray, path: str):
+    """Yield (record_start, header_line_end, record_end) index triples."""
+    if buf.size == 0:
+        return
+    gt = buf == ord(">")
+    at_line_start = np.empty_like(gt)
+    at_line_start[0] = True
+    at_line_start[1:] = buf[:-1] == ord("\n")
+    starts = np.flatnonzero(gt & at_line_start)
+    if starts.size == 0 or starts[0] != 0 or buf[0] != ord(">"):
+        raise FastaError(f"{path}: the FASTA header should start with a '>'")
+    bounds = np.append(starts, buf.size)
+    newlines = np.flatnonzero(buf == ord("\n"))
+    for i in range(starts.size):
+        s, e = bounds[i], bounds[i + 1]
+        j = np.searchsorted(newlines, s)
+        hdr_end = newlines[j] if j < newlines.size and newlines[j] < e else e
+        yield s, hdr_end, e

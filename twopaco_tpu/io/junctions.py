@@ -1,0 +1,74 @@
+"""Binary junction-position list: reference-identical 12-byte records.
+
+Format (reference junctionapi.h:107-137): a flat stream of little-endian
+records ``uint32 pos`` + ``int64 id``. Chromosome ids are implicit: a
+separator record (pos=0xFFFFFFFF, id=INT64_MAX) is written once per
+chromosome increment; the reader infers the chromosome by counting
+separators. The writer auto-inserts separators exactly like the
+reference's JunctionPositionWriter (junctionapi.h:118-132).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SEPARATOR_POS = np.uint32(0xFFFFFFFF)
+SEPARATOR_ID = np.int64((1 << 63) - 1)
+
+RECORD_DTYPE = np.dtype([("pos", "<u4"), ("id", "<i8")], align=False)
+assert RECORD_DTYPE.itemsize == 12
+
+
+class JunctionWriter:
+    """Streaming writer; accepts per-chromosome arrays or single records."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+        self._now_chr = 0
+
+    def _advance_chr(self, chr_id: int) -> None:
+        n_sep = chr_id - self._now_chr
+        if n_sep > 0:
+            sep = np.empty(n_sep, dtype=RECORD_DTYPE)
+            sep["pos"] = SEPARATOR_POS
+            sep["id"] = SEPARATOR_ID
+            sep.tofile(self._f)
+            self._now_chr = chr_id
+
+    def write_array(self, chr_id: int, pos: np.ndarray, ids: np.ndarray) -> None:
+        """Write a run of records for one chromosome, in the given order."""
+        self._advance_chr(chr_id)
+        rec = np.empty(len(pos), dtype=RECORD_DTYPE)
+        rec["pos"] = pos.astype(np.uint32, copy=False)
+        rec["id"] = ids.astype(np.int64, copy=False)
+        rec.tofile(self._f)
+
+    def write(self, chr_id: int, pos: int, junction_id: int) -> None:
+        self.write_array(
+            chr_id,
+            np.asarray([pos], dtype=np.uint32),
+            np.asarray([junction_id], dtype=np.int64),
+        )
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_junctions(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Read the whole file -> (chr int32, pos uint32, id int64) arrays.
+
+    Mirrors JunctionPositionReader::NextJunctionPosition
+    (junctionapi.h:81-99): separators bump the chromosome counter and are
+    not returned.
+    """
+    rec = np.fromfile(path, dtype=RECORD_DTYPE)
+    is_sep = (rec["pos"] == SEPARATOR_POS) & (rec["id"] == SEPARATOR_ID)
+    chrs = np.cumsum(is_sep.astype(np.int32)) - is_sep.astype(np.int32)
+    keep = ~is_sep
+    return chrs[keep].astype(np.int32), rec["pos"][keep], rec["id"][keep]

@@ -1,0 +1,100 @@
+"""HBM-resident Bloom filter: functional fill (scatter) / probe (gather).
+
+TPU-native replacement for the reference's atomic fetch_or bit array
+(concurrentbitvector.cpp:31-37). Two layouts:
+
+  - 'byte': one uint8 per Bloom slot. Fill is a plain scatter-max (all
+    writes are 1, so it is order-independent and deterministic); probe is
+    a byte gather. Simple and fast; 2^f bytes of HBM.
+  - 'bit':  one uint32 word per 32 slots (8x denser, the reference's
+    layout). There is no scatter-OR primitive, so fill is made
+    deterministic and race-free by construction: sort the (word, bit)
+    pairs, drop duplicates, OR each word's bits with a segmented sum of
+    distinct powers of two, then scatter-assign the unique words. The
+    sort also coalesces the memory traffic — random single-bit writes
+    become mostly-sequential word updates.
+
+Both are pure functions: fill returns the new filter array (donate the
+argument under jit for in-place HBM update).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+BYTE_LAYOUT_MAX_F = 31  # 2 GiB of uint8 slots
+BIT_LAYOUT_MAX_F = 36  # 8 GiB of bits; word index must fit int32
+
+
+def choose_layout(f: int, byte_budget_bytes: int = 1 << 31) -> str:
+    if (1 << f) <= byte_budget_bytes and f <= BYTE_LAYOUT_MAX_F:
+        return "byte"
+    if f <= BIT_LAYOUT_MAX_F:
+        return "bit"
+    raise ValueError(f"filter size 2^{f} not supported (max f={BIT_LAYOUT_MAX_F})")
+
+
+def make_filter(f: int, layout: str) -> jnp.ndarray:
+    if layout == "byte":
+        return jnp.zeros(1 << f, dtype=jnp.uint8)
+    elif layout == "bit":
+        return jnp.zeros(1 << max(f - 5, 0), dtype=U32)
+    raise ValueError(layout)
+
+
+def fill(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray, layout: str) -> jnp.ndarray:
+    """Set Bloom slots idx (any shape) where valid; returns new filter."""
+    idx = idx.reshape(-1)
+    valid = valid.reshape(-1)
+    if layout == "byte":
+        safe = jnp.where(valid, idx, 0).astype(jnp.int64)
+        upd = valid.astype(jnp.uint8)
+        return filt.at[safe].max(upd, mode="promise_in_bounds")
+    return _fill_bits(filt, idx, valid)
+
+
+def _fill_bits(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    word = (idx >> 5).astype(jnp.int32)
+    bit = (idx & 31).astype(jnp.int32)
+    # invalid entries sort to the end and scatter out of bounds (dropped)
+    oob = jnp.int32(0x7FFFFFFF)
+    word = jnp.where(valid, word, oob)
+    word, bit = jax.lax.sort((word, bit), num_keys=2)
+    prev_word = jnp.concatenate([jnp.full(1, -1, jnp.int32), word[:-1]])
+    prev_bit = jnp.concatenate([jnp.full(1, -1, jnp.int32), bit[:-1]])
+    uniq = (word != prev_word) | (bit != prev_bit)
+    new_word = word != prev_word
+    seg = jnp.cumsum(new_word.astype(jnp.int32)) - 1
+    m = idx.shape[0]
+    masks = jnp.where(uniq, U32(1) << bit.astype(U32), U32(0))
+    or_mask = jax.ops.segment_sum(masks, seg, num_segments=m)  # distinct bits -> OR
+    seg_word = jax.ops.segment_max(word, seg, num_segments=m)
+    gather_word = jnp.clip(seg_word, 0, filt.shape[0] - 1)
+    merged = filt[gather_word] | or_mask
+    # Sentinel segments (invalid entries) and empty segments (segment_max
+    # identity = int32 min) must not scatter. mode='drop' only drops
+    # positive out-of-range indices (negatives wrap, numpy-style), so
+    # redirect both cases to a positive out-of-range index.
+    n = jnp.int32(filt.shape[0])
+    bad = (seg_word >= n) | (seg_word < 0)
+    seg_word = jnp.where(bad, n, seg_word)
+    return filt.at[seg_word].set(merged, mode="drop")
+
+
+def probe(filt: jnp.ndarray, idx: jnp.ndarray, layout: str) -> jnp.ndarray:
+    """Test Bloom slots; True where the bit is set. idx any shape."""
+    if layout == "byte":
+        return filt[idx.astype(jnp.int64)] > 0
+    word = (idx >> 5).astype(jnp.int32)
+    bit = (idx & 31).astype(U32)
+    return ((filt[word] >> bit) & U32(1)) > 0
+
+
+def probe_all(filt: jnp.ndarray, idx_q: jnp.ndarray, layout: str) -> jnp.ndarray:
+    """AND of q probes along the last axis: (..., q) -> (...)."""
+    return jnp.all(probe(filt, idx_q, layout), axis=-1)

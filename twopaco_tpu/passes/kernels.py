@@ -1,0 +1,333 @@
+"""The four TwoPaCo passes as jitted fixed-shape batch kernels.
+
+Reference pipeline (vertexenumerator.h:122-466, SURVEY.md §0):
+  pass 1  fill     — insert every (k+1)-mer edge into the Bloom filter
+                     (FilterFillerWorker, vertexenumerator.h:995-1105)
+  pass 2  mark     — probe 8 extensions per vertex, mark candidates
+                     (CandidateCheckingWorker, vertexenumerator.h:586-704)
+  pass 3  verify   — exact bifurcation test over candidate records
+                     (CandidateFinalFilteringWorker + TrueBifurcations,
+                     vertexenumerator.h:708-829,1228-1256)
+  pass 4  lookup   — junction-id assignment per candidate occurrence
+                     (EdgeConstructionWorker, vertexenumerator.h:856-993)
+
+TPU-native design: every pass is a pure function over a WindowBatch's
+(B, P) position grid. Edges and both strands are derived from the packed
+vertex words with O(w) shifts (no per-edge repacking): for vertex V with
+reverse complement V',
+    out-edge V·c  has RC  comp(c)·V'   -> append/prepend word ops
+    in-edge  c·V  has RC  V'·comp(c)
+The verify pass replaces the reference's 1024 mutexed hash tables with a
+multi-key device sort + segmented reduction; the lookup pass replaces
+per-position binary search with a batched vectorized lower_bound.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from twopaco_tpu.ops import bloom, hashing, pack
+
+U32 = jnp.uint32
+INVALID_ID = jnp.int64((1 << 63) - 1)  # reference INVALID_VERTEX (common.cpp:5)
+
+
+@dataclass(frozen=True)
+class PassConfig:
+    k: int
+    q: int = 5
+    f: int = 25
+    layout: str = "byte"
+    positions_per_row: int = 2048  # P
+    rows_per_batch: int = 256  # B
+
+    @property
+    def w(self) -> int:
+        return pack.n_words(self.k)
+
+    @property
+    def P(self) -> int:
+        return self.positions_per_row
+
+    @property
+    def B(self) -> int:
+        return self.rows_per_batch
+
+
+def _comp4(x: jnp.ndarray) -> jnp.ndarray:
+    """Complement of an extension code; N (4) and padding stay N."""
+    return jnp.where(x < 4, 3 - x, jnp.uint8(4)).astype(x.dtype)
+
+
+def _strand_arrays(codes: jnp.ndarray, cfg: PassConfig):
+    """codes (B, R=P+k+1) uint8 -> per-offset packed words, RC, definite.
+
+    Offset j holds the k-mer over chars [j, j+k); vertex position i of the
+    row is offset i+1 (offset 0 exists only as the i-1 "previous vertex"
+    view; offset P+1 is the "next vertex" peek used by the fill gate).
+    """
+    k, P = cfg.k, cfg.P
+    cm = jnp.where(codes < 4, codes, 0).astype(U32)
+    words_all = pack.kmer_words(cm, k, P + 2)  # (B, P+2, w)
+    rc_all = pack.revcomp_words(words_all, k)
+    def_all = pack.window_all_definite(codes, k, P + 2)
+    return words_all, rc_all, def_all
+
+
+def _vertex_views(codes, cfg: PassConfig):
+    k, P = cfg.k, cfg.P
+    words_all, rc_all, def_all = _strand_arrays(codes, cfg)
+    V = words_all[:, 1 : P + 1]
+    rcV = rc_all[:, 1 : P + 1]
+    defV = def_all[:, 1 : P + 1]
+    prev = codes[:, 0:P]
+    nxt = codes[:, k + 1 : k + 1 + P]
+    return words_all, rc_all, def_all, V, rcV, defV, prev, nxt
+
+
+def _pos_ok(valid: jnp.ndarray, P: int) -> jnp.ndarray:
+    return jnp.arange(P, dtype=jnp.int32)[None, :] < valid[:, None]
+
+
+def _within(h: jnp.ndarray, low: jnp.ndarray, high_incl: jnp.ndarray) -> jnp.ndarray:
+    return (h >= low) & (h <= high_incl)
+
+
+def _canon_edge_indices(E, rcE, cfg: PassConfig):
+    canon, _ = pack.canonical(E, rcE)
+    return hashing.bloom_indices(canon, cfg.q, cfg.f)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def pass1_fill(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
+    """Insert canonical edge hashes for one batch; returns the filter.
+
+    Per definite vertex position (reference vertexenumerator.h:1035-1083):
+      - real out-edge V·next if next is definite, else dummy edges V·A and
+        V·T (DUMMY_CHAR / REV_DUMMY_CHAR, :1012-1013,1048-1058);
+      - dummy in-edges A·V and T·V when prev is non-definite (:1060-1064);
+      - gated on either endpoint's canonical vertex hash in the round
+        interval (:1066-1072).
+    """
+    k, P = cfg.k, cfg.P
+    _, _, def_all, V, rcV, defV, prev, nxt = _vertex_views(codes, cfg)
+    canonV, _ = pack.canonical(V, rcV)
+    hv = hashing.vertex_hash(canonV)
+    # next-vertex peek (offset i+2)
+    words_all, rc_all, def_all = _strand_arrays(codes, cfg)
+    Vn, rcVn, defVn = (
+        words_all[:, 2 : P + 2],
+        rc_all[:, 2 : P + 2],
+        def_all[:, 2 : P + 2],
+    )
+    canonVn, _ = pack.canonical(Vn, rcVn)
+    hvn = hashing.vertex_hash(canonVn)
+
+    in_round = _within(hv, low, high_incl) | (defVn & _within(hvn, low, high_incl))
+    base = _pos_ok(valid, P) & defV & in_round
+    next_def = nxt < 4
+    prev_def = prev < 4
+
+    c0 = jnp.where(next_def, nxt, 0).astype(U32)
+    slots = [
+        (pack.append_char(V, k, c0), pack.prepend_char(rcV, k, U32(3) - c0), base),
+        (
+            pack.append_char(V, k, jnp.full_like(c0, 3)),
+            pack.prepend_char(rcV, k, jnp.zeros_like(c0)),
+            base & ~next_def,
+        ),
+        (
+            pack.prepend_char(V, k, jnp.zeros_like(c0)),
+            pack.append_char(rcV, k, jnp.full_like(c0, 3)),
+            base & ~prev_def,
+        ),
+        (
+            pack.prepend_char(V, k, jnp.full_like(c0, 3)),
+            pack.append_char(rcV, k, jnp.zeros_like(c0)),
+            base & ~prev_def,
+        ),
+    ]
+    idx = jnp.stack(
+        [_canon_edge_indices(E, R, cfg) for E, R, _ in slots], axis=2
+    )  # (B, P, 4, q)
+    val = jnp.stack([v for _, _, v in slots], axis=2)  # (B, P, 4)
+    val = jnp.broadcast_to(val[..., None], idx.shape)
+    return bloom.fill(filt, idx, val, cfg.layout)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pass2_mark(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
+    """Mark candidate junction positions; returns (mask (B,P), count).
+
+    Per definite, in-round vertex (reference vertexenumerator.h:633-674):
+    inCount starts at 2 if prev is non-definite else 0; for c in ACGT,
+    (c == prev) or an all-q Bloom hit on in-edge c·V increments it;
+    symmetrically for outCount with out-edges V·c. Candidate iff
+    inCount > 1 or outCount > 1.
+    """
+    k, P = cfg.k, cfg.P
+    _, _, _, V, rcV, defV, prev, nxt = _vertex_views(codes, cfg)
+    canonV, _ = pack.canonical(V, rcV)
+    hv = hashing.vertex_hash(canonV)
+    base = _pos_ok(valid, P) & defV & _within(hv, low, high_incl)
+
+    in_cnt = 2 * (prev >= 4).astype(jnp.int32)
+    out_cnt = 2 * (nxt >= 4).astype(jnp.int32)
+    for c in range(4):
+        cc = U32(c)
+        Ein = pack.prepend_char(V, k, jnp.full(prev.shape, c, U32))
+        Rin = pack.append_char(rcV, k, jnp.full(prev.shape, 3 - c, U32))
+        hit_in = bloom.probe_all(filt, _canon_edge_indices(Ein, Rin, cfg), cfg.layout)
+        in_cnt = in_cnt + jnp.where(prev == c, 1, hit_in.astype(jnp.int32))
+
+        Eout = pack.append_char(V, k, jnp.full(prev.shape, c, U32))
+        Rout = pack.prepend_char(rcV, k, jnp.full(prev.shape, 3 - c, U32))
+        hit_out = bloom.probe_all(filt, _canon_edge_indices(Eout, Rout, cfg), cfg.layout)
+        out_cnt = out_cnt + jnp.where(nxt == c, 1, hit_out.astype(jnp.int32))
+
+    mask = base & ((in_cnt > 1) | (out_cnt > 1))
+    return mask, jnp.sum(mask, dtype=jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cap"))
+def extract_records(codes, mask, *, cfg: PassConfig, cap: int):
+    """Gather candidate occurrence records from a marked batch.
+
+    Record = (canonical k-mer words, in-extension, out-extension) in the
+    canonical orientation: an RC-canonical occurrence contributes
+    (comp(next), comp(prev)) (reference CandidateOccurence::Set,
+    candidateoccurence.h:25-50). Returns (words (cap,w), in, out, count).
+    """
+    k, P, B = cfg.k, cfg.P, cfg.B
+    _, _, _, V, rcV, _, prev, nxt = _vertex_views(codes, cfg)
+    canonV, is_rc = pack.canonical(V, rcV)
+    in_code = jnp.where(is_rc, _comp4(nxt), prev)
+    out_code = jnp.where(is_rc, _comp4(prev), nxt)
+
+    flat = mask.reshape(-1)
+    count = jnp.sum(flat, dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=B * P - 1)
+    words = canonV.reshape(B * P, cfg.w)[idx]
+    return words, in_code.reshape(-1)[idx], out_code.reshape(-1)[idx], count
+
+
+@partial(jax.jit, static_argnames=("w",))
+def verify_records(words, in_code, out_code, abundance, *, w: int):
+    """Exact bifurcation test: sort by k-mer, segment-reduce extensions.
+
+    A canonical k-mer is a junction iff
+        (#distinct ACGT in-exts) + (#occurrences with N in-ext) > 1
+     or the same for out-extensions
+    (equivalent to the reference's first-record comparison + N counters,
+    vertexenumerator.h:778-796), and its occurrence count is <= abundance
+    (TrueBifurcations, vertexenumerator.h:1240). Padding rows must be
+    all-0xFFFFFFFF words (sort to the end, never equal a real k-mer for
+    odd k) with in=out=0.
+
+    Returns (sorted_words, keep_first (M,), n_groups, n_junctions).
+    """
+    m = words.shape[0]
+    cols = tuple(words[:, i] for i in range(w)) + (
+        in_code.astype(jnp.int32),
+        out_code.astype(jnp.int32),
+    )
+    sorted_cols = jax.lax.sort(cols, num_keys=w)
+    sw = jnp.stack(sorted_cols[:w], axis=-1)
+    sin, sout = sorted_cols[w], sorted_cols[w + 1]
+
+    prev_w = jnp.concatenate([~sw[:1], sw[:-1]])  # first row always differs
+    new_group = jnp.any(sw != prev_w, axis=-1)
+    seg = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+
+    def degree(ext):
+        distinct = jnp.zeros(m, dtype=jnp.int32)
+        for c in range(4):
+            has_c = jax.ops.segment_max(
+                (ext == c).astype(jnp.int32), seg, num_segments=m
+            )
+            distinct = distinct + has_c
+        n_ext = jax.ops.segment_sum(
+            (ext == 4).astype(jnp.int32), seg, num_segments=m
+        )
+        return distinct + n_ext
+
+    size = jax.ops.segment_sum(jnp.ones(m, jnp.int32), seg, num_segments=m)
+    is_bif = (degree(sin) > 1) | (degree(sout) > 1)
+    # exclude the sentinel-padding group (all-ones words)
+    first_word = jax.ops.segment_max(sw[:, 0], seg, num_segments=m)
+    real = jnp.ones(m, dtype=bool)
+    for i in range(w):
+        real = real & (
+            jax.ops.segment_max(sw[:, i], seg, num_segments=m)
+            != U32(0xFFFFFFFF)
+        )
+    real = real | (first_word != U32(0xFFFFFFFF))  # cheap short-circuit
+    keep_group = is_bif & (size.astype(jnp.uint64) <= abundance) & real
+    n_groups = jnp.sum(
+        (jax.ops.segment_sum(new_group.astype(jnp.int32), seg, num_segments=m) > 0)
+        & real
+    )
+    keep_first = new_group & keep_group[seg]
+    return sw, keep_first, n_groups, jnp.sum(keep_first, dtype=jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pass4_lookup(codes, mask, valid, table, *, cfg: PassConfig):
+    """Junction ids per candidate position; INVALID elsewhere.
+
+    table: (J, w) sorted canonical k-mers. id = +(rank+1) when the
+    positive-strand k-mer is in the table, else -(rank+1) for its RC
+    (reference BifurcationStorage::GetId, bifurcationstorage.h:100-153).
+    Returns (ids (B, P) int64, n_found).
+    """
+    k, P, B = cfg.k, cfg.P, cfg.B
+    _, _, _, V, rcV, defV, _, _ = _vertex_views(codes, cfg)
+    base = _pos_ok(valid, P) & defV & mask
+
+    def lower_bound(keys):  # keys (M, w)
+        J = table.shape[0]
+        steps = max(1, math.ceil(math.log2(max(J, 1) + 1)))
+        lo = jnp.zeros(keys.shape[0], jnp.int32)
+        hi = jnp.full(keys.shape[0], J, jnp.int32)
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            trow = table[jnp.clip(mid, 0, max(J - 1, 0))]
+            go_right = pack.lex_less(trow, keys) & (mid < hi)
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        in_range = lo < J
+        trow = table[jnp.clip(lo, 0, max(J - 1, 0))]
+        found = pack.lex_eq(trow, keys) & in_range
+        return lo, found
+
+    keys = V.reshape(B * P, cfg.w)
+    keys_rc = rcV.reshape(B * P, cfg.w)
+    lo_p, found_p = lower_bound(keys)
+    lo_n, found_n = lower_bound(keys_rc)
+    ids = jnp.where(
+        found_p,
+        lo_p.astype(jnp.int64) + 1,
+        jnp.where(found_n, -(lo_n.astype(jnp.int64) + 1), INVALID_ID),
+    )
+    ids = jnp.where(base.reshape(-1), ids, INVALID_ID).reshape(B, P)
+    return ids, jnp.sum(ids != INVALID_ID, dtype=jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("cfg", "bin_pow"))
+def histogram_vertex_hashes(codes, valid, *, cfg: PassConfig, bin_pow: int = 16):
+    """Per-bin counts of canonical vertex hashes (multi-round splitting;
+    reference InitialFilterFillerWorker, vertexenumerator.h:503-583)."""
+    P = cfg.P
+    _, _, _, V, rcV, defV, _, _ = _vertex_views(codes, cfg)
+    canonV, _ = pack.canonical(V, rcV)
+    hv = hashing.vertex_hash(canonV)
+    ok = _pos_ok(valid, P) & defV
+    bins = (hv >> (32 - bin_pow)).astype(jnp.int32).reshape(-1)
+    return jnp.zeros(1 << bin_pow, jnp.int32).at[bins].add(
+        ok.reshape(-1).astype(jnp.int32), mode="promise_in_bounds"
+    )
