@@ -24,12 +24,30 @@ Architecture (TPU-first, not a port):
     /dev/urandom and is not; see SURVEY.md §5).
 """
 
+import os as _os
+
 import jax as _jax
 
 # All k-mer/hash math is explicit fixed-width integer arithmetic; several
 # paths (filter indices beyond 2^32, the int64 junction id format) need
 # 64-bit types, so x64 must be on before any tracing happens.
 _jax.config.update("jax_enable_x64", True)
+
+# TWOPACO_PLATFORM=cpu|tpu|axon overrides the backend (the image's
+# sitecustomize pins 'axon' in a way plain JAX_PLATFORMS can't undo).
+_plat = _os.environ.get("TWOPACO_PLATFORM")
+if _plat:
+    _jax.config.update("jax_platforms", _plat)
+
+# Persistent compile cache: CLI processes are short-lived; without this
+# every invocation pays the full XLA compile (~20-40s on TPU).
+_cache = _os.environ.get(
+    "TWOPACO_COMPILE_CACHE", _os.path.expanduser("~/.cache/twopaco_tpu_xla")
+)
+if _cache and _cache != "0":
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,126 @@
+"""twopaco CLI: junction enumeration (reference constructor.cpp:53-176).
+
+Flag-compatible with the reference binary:
+    -k/--kvalue, -f/--filtersize XOR --filtermemory, -q/--hashfnumber,
+    -r/--rounds, -t/--threads, -a/--abundance, --tmpdir, --test,
+    -o/--outfile, positional FASTA files.
+TPU-specific extras are prefixed --tpu-*.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="twopaco",
+        description=(
+            "Program for construction of the condensed de Bruijn graph "
+            "from complete genomes (TPU-native)"
+        ),
+    )
+    p.add_argument("-k", "--kvalue", type=int, default=25, help="Value of k (odd)")
+    p.add_argument(
+        "-f", "--filtersize", type=int, default=None,
+        help="Size of the filter (log2 of slot count)",
+    )
+    p.add_argument(
+        "--filtermemory", type=float, default=None,
+        help="Memory in GBs allocated for the filter",
+    )
+    p.add_argument(
+        "-q", "--hashfnumber", type=int, default=5,
+        help="Number of hash functions",
+    )
+    p.add_argument(
+        "-r", "--rounds", type=int, default=1,
+        help="Number of computation rounds",
+    )
+    p.add_argument(
+        "-t", "--threads", type=int, default=1,
+        help="Number of worker threads (accepted for compatibility; "
+        "parallelism is XLA/device-driven here)",
+    )
+    p.add_argument(
+        "-a", "--abundance", type=int, default=(1 << 64) - 1,
+        help="Vertex abundance threshold",
+    )
+    p.add_argument(
+        "--tmpdir", default=".", help="Temporary directory name"
+    )
+    p.add_argument("--test", action="store_true", help="Run tests")
+    p.add_argument(
+        "-o", "--outfile", default="de_bruijn.bin",
+        help="Output file name prefix",
+    )
+    p.add_argument(
+        "--tpu-layout", choices=["auto", "byte", "bit"], default="auto",
+        help="Bloom filter memory layout",
+    )
+    p.add_argument(
+        "--tpu-positions", type=int, default=2048,
+        help="Window positions per row",
+    )
+    p.add_argument(
+        "--tpu-rows", type=int, default=256, help="Rows per batch"
+    )
+    p.add_argument("filenames", nargs="*", help="FASTA file(s)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+
+    if args.test:
+        from twopaco_tpu.testing.selftest import run_tests
+
+        ok = run_tests(tests=10, filter_bits=20, length=2000, chr_number=4)
+        return 0 if ok else 1
+
+    if args.kvalue % 2 != 1:
+        print("Error: value of K must be odd", file=sys.stderr)
+        return 1
+    if not args.filenames:
+        print("Error: no input files", file=sys.stderr)
+        return 1
+    if (args.filtersize is None) == (args.filtermemory is None):
+        print(
+            "Error: exactly one of -f/--filtersize or --filtermemory "
+            "is required",
+            file=sys.stderr,
+        )
+        return 1
+    if args.filtersize is not None:
+        filter_bits = args.filtersize
+    else:
+        filter_bits = int(math.log2(args.filtermemory * 8e9))
+
+    from twopaco_tpu.passes import PipelineConfig, build_junctions
+
+    cfg = PipelineConfig(
+        k=args.kvalue,
+        filter_bits=filter_bits,
+        hash_functions=args.hashfnumber,
+        rounds=args.rounds,
+        abundance=args.abundance,
+        layout=args.tpu_layout,
+        positions_per_row=args.tpu_positions,
+        rows_per_batch=args.tpu_rows,
+    )
+    try:
+        enum = build_junctions(
+            args.filenames, cfg, out_path=args.outfile, log=print
+        )
+    except (OSError, RuntimeError, ValueError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    print(f"Distinct junctions = {enum.vertices_count}")
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

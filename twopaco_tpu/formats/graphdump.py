@@ -1,0 +1,309 @@
+"""graphdump: render the binary junction list to text formats.
+
+Reference-parity port of graphdump.cpp semantics: seq, group, dot,
+gfa1, gfa2, fasta. Host-side text generation (no device work).
+
+Segment identity (graphdump.cpp:42-113): the unitig between consecutive
+junctions (begin, end) gets a deterministic id derived from its
+lower-abs-id endpoint:
+    segId = beginId << 3 | signbit << 2 | code(first-edge-char)
+negated if the orientation was flipped; paths whose edge char is 'N'
+get sequential "reserved" ids from 2^34 (ID_POWER = 35).
+
+Divergence note: for non-ACGT, non-N edge chars (e.g. 'Y') the reference
+computes an out-of-range char code (DnaChar::MakeUpChar returns
+(size_t)-1, graphdump.cpp:64) — undefined behavior. Here any non-ACGT
+edge char takes the reserved-id path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, TextIO
+
+from twopaco_tpu import dna
+from twopaco_tpu.io import fasta as fasta_io
+from twopaco_tpu.io import junctions as junction_io
+
+ID_POWER = 35
+RESERVED_START = 1 << (ID_POWER - 1)
+MAX_JUNCTION_ID = 1 << (ID_POWER - 4)
+
+_CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+_REV = {"A": "T", "T": "A", "C": "G", "G": "C"}
+
+
+def _rev_char(ch: str) -> str:
+    """DnaChar::ReverseChar: non-ACGT -> 'N' (dnachar.cpp:55-59)."""
+    return _REV.get(ch, "N")
+
+
+def _revcomp_text(s: str) -> str:
+    """DnaChar::ReverseCompliment over text (ambiguity chars -> 'N')."""
+    return "".join(_rev_char(c) for c in reversed(s))
+
+
+def _sign(x: int) -> str:
+    return "+" if x >= 0 else "-"
+
+
+class _SegmentNamer:
+    def __init__(self):
+        self.reserved = RESERVED_START
+
+    def segment_id(
+        self, begin_id: int, end_id: int, pos_edge_ch: str, neg_edge_ch: str
+    ) -> int:
+        absb, abse = abs(begin_id), abs(end_id)
+        if absb >= MAX_JUNCTION_ID or abse >= MAX_JUNCTION_ID:
+            raise RuntimeError(
+                "A vertex id is too large, cannot generate GFA"
+            )
+        if absb < abse or (absb == abse and begin_id > 0):
+            edge_ch = pos_edge_ch
+            b_id = begin_id
+        else:
+            edge_ch = neg_edge_ch
+            b_id = -end_id
+        if edge_ch not in _CODE:  # 'N' (or any ambiguity): unique path
+            seg = self.reserved
+            self.reserved += 1
+            return seg
+        seg = _CODE[edge_ch]
+        if b_id < 0:
+            seg |= 1 << 2
+            seg |= (-b_id) << 3
+        else:
+            seg |= b_id << 3
+        if begin_id != b_id:
+            seg = -seg
+        return seg
+
+
+def generate_seq(in_path: str, out: TextIO) -> None:
+    """One line 'chr pos id' per occurrence (graphdump.cpp:160-168)."""
+    c, pos, ids = junction_io.read_junctions(in_path)
+    for cc, pp, ii in zip(c, pos, ids):
+        out.write(f"{cc} {pp} {ii}\n")
+
+
+def generate_group(in_path: str, out: TextIO) -> None:
+    """Occurrences grouped by junction id; classes ordered by their first
+    (chr, pos); line = 'chr pos; ' per member (graphdump.cpp:120-158)."""
+    c, pos, ids = junction_io.read_junctions(in_path)
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for cc, pp, ii in zip(c, pos, ids):
+        groups.setdefault(int(ii), []).append((int(cc), int(pp)))
+    classes = [sorted(v) for v in groups.values()]
+    classes.sort(key=lambda g: g[0])
+    for g in classes:
+        out.write("".join(f"{cc} {pp}; " for cc, pp in g) + "\n")
+
+
+def generate_dot(in_path: str, out: TextIO) -> None:
+    """Blue forward / red reverse edges between consecutive same-chr
+    junctions (graphdump.cpp:585-606)."""
+    c, pos, ids = junction_io.read_junctions(in_path)
+    out.write("digraph G\n{\n\trankdir = LR\n")
+    prev = None
+    for cc, pp, ii in zip(c, pos, ids):
+        if prev is not None and prev[0] == cc:
+            pc, ppos, pid = prev
+            out.write(
+                f"\t{pid} -> {ii}"
+                f'[color="blue", label="chr={pc} pos={ppos}"]\n'
+            )
+            out.write(
+                f"\t{-ii} -> {-pid}"
+                f'[color="red", label="chr={pc} pos={ppos}"]\n'
+            )
+        prev = (int(cc), int(pp), int(ii))
+    out.write("}\n")
+
+
+def _read_input_names(
+    genomes: Iterable[str], prefix: bool
+) -> tuple[list[str], list[int], dict[str, str]]:
+    """Chromosome display names + lengths (ReadInputSequences,
+    graphdump.cpp:175-204; note the reference never increments chrCount,
+    so --prefix yields 's0_<header>' for every record — replicated)."""
+    names, lengths, file_of = [], [], {}
+    for path in genomes:
+        for header, codes in fasta_io.read_fasta(path):
+            name = f"s0_{header}" if prefix else header
+            names.append(name)
+            lengths.append(len(codes))
+            file_of[name] = str(path)
+    return names, lengths, file_of
+
+
+class _Gfa1:
+    def header(self, out):
+        out.write("H\tVN:Z:1.0\n")
+
+    def list_input_sequences(self, names, file_of, out):
+        for n in names:
+            out.write(f"S\t{n}\t*\tUR:Z:{file_of[n]}\n")
+
+    def segment(self, seg_id, seg_size, body, out):
+        out.write(f"S\t{abs(seg_id)}\t{body}\n")
+
+    def occurrence(self, seg_id, seg_size, chr_name, chr_len, begin, end, k, out):
+        out.write(
+            f"C\t{abs(seg_id)}\t{_sign(seg_id)}\t{chr_name}\t+\t{end}\n"
+        )
+
+    def edge(self, prev_id, prev_size, seg_id, seg_size, k, out):
+        out.write(
+            f"L\t{abs(prev_id)}\t{_sign(prev_id)}\t{abs(seg_id)}\t"
+            f"{_sign(seg_id)}\t{k}M\n"
+        )
+
+    def flush_path(self, path, chr_name, k, out):
+        if path:
+            body = ",".join(f"{abs(x)}{_sign(x)}" for x in path)
+            out.write(f"P\t{chr_name}\t{body}\t*\n")
+            path.clear()
+
+
+def _gfa2_pos(pos: int, length: int) -> str:
+    return f"{pos}$" if pos == length else f"{pos}"
+
+
+class _Gfa2:
+    def header(self, out):
+        out.write("H\tVN:Z:2.0\n")
+
+    def list_input_sequences(self, names, file_of, out):
+        pass
+
+    def segment(self, seg_id, seg_size, body, out):
+        out.write(f"S\t{abs(seg_id)}\t{seg_size}\t{body}\n")
+
+    def occurrence(self, seg_id, seg_size, chr_name, chr_len, begin, end, k, out):
+        out.write(
+            f"F\t{abs(seg_id)}\t{chr_name}{_sign(seg_id)}\t0\t{seg_size}$\t"
+            f"{_gfa2_pos(begin, chr_len)}\t{_gfa2_pos(end + k, chr_len)}\t{k}M\n"
+        )
+
+    def edge(self, prev_id, prev_size, seg_id, seg_size, k, out):
+        if prev_id > 0:
+            ps, pe = prev_size - k, prev_size
+        else:
+            ps, pe = 0, k
+        if seg_id > 0:
+            ss, se = 0, k
+        else:
+            ss, se = seg_size - k, seg_size
+        out.write(
+            f"E\t{abs(prev_id)}{_sign(prev_id)}\t{abs(seg_id)}{_sign(seg_id)}\t"
+            f"{_gfa2_pos(ps, prev_size)}\t{_gfa2_pos(pe, prev_size)}\t"
+            f"{_gfa2_pos(ss, seg_size)}\t{_gfa2_pos(se, seg_size)}\t{k}M\n"
+        )
+
+    def flush_path(self, path, chr_name, k, out):
+        if path:
+            body = " ".join(f"{abs(x)}{_sign(x)}" for x in path)
+            out.write(f"O\t{chr_name}p\t{body}\n")
+            path.clear()
+
+
+def _iter_segments(in_path: str, genomes: list[str], k: int):
+    """Yield per-chromosome segment streams.
+
+    Yields tuples (event, payload):
+      ('chr', (seq_id, chr_text))
+      ('seg', (seg_id, seg_size, begin_pos, end_pos, body_slice))
+    following GenerateGfaOutput's lockstep walk (graphdump.cpp:377-478).
+    """
+    namer = _SegmentNamer()
+    chr_iter = fasta_io.read_sequences_text(genomes)
+    c, pos, ids = junction_io.read_junctions(in_path)
+    if len(c) == 0:
+        return
+    seq_id = 0
+    chr_text = next(chr_iter)
+    yield "chr", (0, chr_text)
+    begin = (int(c[0]), int(pos[0]), int(ids[0]))
+    for i in range(1, len(c)):
+        end = (int(c[i]), int(pos[i]), int(ids[i]))
+        if begin[0] == end[0]:
+            pos_edge = chr_text[begin[1] + k]
+            neg_edge = _rev_char(chr_text[end[1] - 1])
+            seg_id = namer.segment_id(begin[2], end[2], pos_edge, neg_edge)
+            seg_size = end[1] + k - begin[1]
+            yield "seg", (seg_id, seg_size, begin[1], end[1])
+        else:
+            chr_text = next(chr_iter)
+            seq_id += 1
+            if end[0] != seq_id:
+                raise RuntimeError("The input is corrupted")
+            yield "chr", (seq_id, chr_text)
+        begin = end
+
+
+def generate_gfa(
+    in_path: str,
+    genomes: list[str],
+    k: int,
+    out: TextIO,
+    version: int = 1,
+    prefix: bool = False,
+) -> None:
+    g = _Gfa1() if version == 1 else _Gfa2()
+    names, lengths, file_of = _read_input_names(genomes, prefix)
+    g.header(out)
+    g.list_input_sequences(names, file_of, out)
+
+    seen: set[int] = set()
+    path: list[int] = []
+    chr_text = ""
+    seq_id = 0
+    prev_seg = 0
+    prev_size = -1
+    for event, payload in _iter_segments(in_path, genomes, k):
+        if event == "chr":
+            if path:
+                g.flush_path(path, names[seq_id], k, out)
+            seq_id, chr_text = payload
+            prev_seg = 0
+        else:
+            seg_id, seg_size, bpos, epos = payload
+            path.append(seg_id)
+            if abs(seg_id) not in seen:
+                body = chr_text[bpos : epos + k]
+                if seg_id < 0:
+                    body = _revcomp_text(body)
+                g.segment(seg_id, seg_size, body, out)
+                seen.add(abs(seg_id))
+            g.occurrence(
+                seg_id, seg_size, names[seq_id], lengths[seq_id],
+                bpos, epos, k, out,
+            )
+            if prev_seg != 0:
+                g.edge(prev_seg, prev_size, seg_id, seg_size, k, out)
+            prev_seg, prev_size = seg_id, seg_size
+    g.flush_path(path, names[seq_id], k, out)
+
+
+def generate_fasta(
+    in_path: str, genomes: list[str], k: int, out: TextIO
+) -> None:
+    """Each distinct segment once, 80-column wrapped
+    (graphdump.cpp:499-582)."""
+    seen: set[int] = set()
+    chr_text = ""
+    for event, payload in _iter_segments(in_path, genomes, k):
+        if event == "chr":
+            _sid, chr_text = payload
+        else:
+            seg_id, seg_size, bpos, epos = payload
+            if abs(seg_id) in seen:
+                continue
+            seen.add(abs(seg_id))
+            body = chr_text[bpos : epos + k]
+            if seg_id < 0:
+                body = _revcomp_text(body)
+            out.write(f">{abs(seg_id)}\n")
+            for j in range(0, len(body), 80):
+                out.write(body[j : j + 80] + "\n")

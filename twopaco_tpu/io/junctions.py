@@ -67,6 +67,12 @@ def read_junctions(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     (junctionapi.h:81-99): separators bump the chromosome counter and are
     not returned.
     """
+    size = np.int64(np.fromfile(path, dtype=np.uint8).size)
+    if size % RECORD_DTYPE.itemsize != 0:
+        raise RuntimeError(
+            f"{path}: size {size} is not a multiple of the 12-byte "
+            "junction record — truncated or not a twopaco binary"
+        )
     rec = np.fromfile(path, dtype=RECORD_DTYPE)
     is_sep = (rec["pos"] == SEPARATOR_POS) & (rec["id"] == SEPARATOR_ID)
     chrs = np.cumsum(is_sep.astype(np.int32)) - is_sep.astype(np.int32)

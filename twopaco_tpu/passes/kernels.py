@@ -258,20 +258,17 @@ def verify_records(words, in_code, out_code, abundance, *, w: int):
 
     size = jax.ops.segment_sum(jnp.ones(m, jnp.int32), seg, num_segments=m)
     is_bif = (degree(sin) > 1) | (degree(sout) > 1)
-    # exclude the sentinel-padding group (all-ones words)
-    first_word = jax.ops.segment_max(sw[:, 0], seg, num_segments=m)
-    real = jnp.ones(m, dtype=bool)
+    # sentinel-padding group: ALL words 0xFFFFFFFF (a real k-mer always
+    # has a non-all-ones last word: odd k leaves zero padding bits there)
+    sentinel = jnp.ones(m, dtype=bool)
     for i in range(w):
-        real = real & (
+        sentinel = sentinel & (
             jax.ops.segment_max(sw[:, i], seg, num_segments=m)
-            != U32(0xFFFFFFFF)
+            == U32(0xFFFFFFFF)
         )
-    real = real | (first_word != U32(0xFFFFFFFF))  # cheap short-circuit
+    real = (size > 0) & ~sentinel
     keep_group = is_bif & (size.astype(jnp.uint64) <= abundance) & real
-    n_groups = jnp.sum(
-        (jax.ops.segment_sum(new_group.astype(jnp.int32), seg, num_segments=m) > 0)
-        & real
-    )
+    n_groups = jnp.sum(real, dtype=jnp.int64)
     keep_first = new_group & keep_group[seg]
     return sw, keep_first, n_groups, jnp.sum(keep_first, dtype=jnp.int64)
 
@@ -286,6 +283,9 @@ def pass4_lookup(codes, mask, valid, table, *, cfg: PassConfig):
     Returns (ids (B, P) int64, n_found).
     """
     k, P, B = cfg.k, cfg.P, cfg.B
+    if table.shape[0] == 0:  # nothing to find; only stubs exist
+        ids = jnp.full((B, P), INVALID_ID, jnp.int64)
+        return ids, jnp.int64(0)
     _, _, _, V, rcV, defV, _, _ = _vertex_views(codes, cfg)
     base = _pos_ok(valid, P) & defV & mask
 
