@@ -103,9 +103,9 @@ def _canon_edge_indices(E, rcE, cfg: PassConfig):
     return hashing.bloom_indices(canon, cfg.q, cfg.f)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def pass1_fill(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
-    """Insert canonical edge hashes for one batch; returns the filter.
+def fill_indices(codes, valid, low, high_incl, cfg: PassConfig):
+    """Canonical-edge Bloom indices to insert for one batch:
+    -> (idx (B, P, 4, q), valid mask same shape).
 
     Per definite vertex position (reference vertexenumerator.h:1035-1083):
       - real out-edge V·next if next is definite, else dummy edges V·A and
@@ -115,11 +115,17 @@ def pass1_fill(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
         interval (:1066-1072).
     """
     k, P = cfg.k, cfg.P
-    _, _, def_all, V, rcV, defV, prev, nxt = _vertex_views(codes, cfg)
+    words_all, rc_all, def_all = _strand_arrays(codes, cfg)
+    V, rcV, defV = (
+        words_all[:, 1 : P + 1],
+        rc_all[:, 1 : P + 1],
+        def_all[:, 1 : P + 1],
+    )
+    prev = codes[:, 0:P]
+    nxt = codes[:, k + 1 : k + 1 + P]
     canonV, _ = pack.canonical(V, rcV)
     hv = hashing.vertex_hash(canonV)
     # next-vertex peek (offset i+2)
-    words_all, rc_all, def_all = _strand_arrays(codes, cfg)
     Vn, rcVn, defVn = (
         words_all[:, 2 : P + 2],
         rc_all[:, 2 : P + 2],
@@ -157,18 +163,21 @@ def pass1_fill(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
     )  # (B, P, 4, q)
     val = jnp.stack([v for _, _, v in slots], axis=2)  # (B, P, 4)
     val = jnp.broadcast_to(val[..., None], idx.shape)
+    return idx, val
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def pass1_fill(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
+    """Single-device fill: insert this batch's edges; returns the filter."""
+    idx, val = fill_indices(codes, valid, low, high_incl, cfg)
     return bloom.fill(filt, idx, val, cfg.layout)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def pass2_mark(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
-    """Mark candidate junction positions; returns (mask (B,P), count).
+def mark_indices(codes, valid, low, high_incl, cfg: PassConfig):
+    """Probe indices for the candidate-mark pass.
 
-    Per definite, in-round vertex (reference vertexenumerator.h:633-674):
-    inCount starts at 2 if prev is non-definite else 0; for c in ACGT,
-    (c == prev) or an all-q Bloom hit on in-edge c·V increments it;
-    symmetrically for outCount with out-edges V·c. Candidate iff
-    inCount > 1 or outCount > 1.
+    -> (idx (B, P, 8, q), base (B,P), prev (B,P), nxt (B,P)).
+    Probe slots 0..3 are in-edges c·V, 4..7 out-edges V·c for c=A,C,G,T.
     """
     k, P = cfg.k, cfg.P
     _, _, _, V, rcV, defV, prev, nxt = _vertex_views(codes, cfg)
@@ -176,21 +185,45 @@ def pass2_mark(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
     hv = hashing.vertex_hash(canonV)
     base = _pos_ok(valid, P) & defV & _within(hv, low, high_incl)
 
+    slots = []
+    for c in range(4):
+        Ein = pack.prepend_char(V, k, jnp.full(prev.shape, c, U32))
+        Rin = pack.append_char(rcV, k, jnp.full(prev.shape, 3 - c, U32))
+        slots.append(_canon_edge_indices(Ein, Rin, cfg))
+    for c in range(4):
+        Eout = pack.append_char(V, k, jnp.full(prev.shape, c, U32))
+        Rout = pack.prepend_char(rcV, k, jnp.full(prev.shape, 3 - c, U32))
+        slots.append(_canon_edge_indices(Eout, Rout, cfg))
+    return jnp.stack(slots, axis=2), base, prev, nxt
+
+
+def mark_decide(hits, base, prev, nxt):
+    """Candidate decision from per-slot q-AND Bloom hits (B, P, 8).
+
+    Reference CandidateCheckingWorker semantics
+    (vertexenumerator.h:633-674): inCount starts at 2 if prev is
+    non-definite else 0; for c in ACGT, (c == prev) or a Bloom hit on
+    in-edge c·V increments it; symmetrically for out. Candidate iff
+    inCount > 1 or outCount > 1.
+    """
     in_cnt = 2 * (prev >= 4).astype(jnp.int32)
     out_cnt = 2 * (nxt >= 4).astype(jnp.int32)
     for c in range(4):
-        cc = U32(c)
-        Ein = pack.prepend_char(V, k, jnp.full(prev.shape, c, U32))
-        Rin = pack.append_char(rcV, k, jnp.full(prev.shape, 3 - c, U32))
-        hit_in = bloom.probe_all(filt, _canon_edge_indices(Ein, Rin, cfg), cfg.layout)
-        in_cnt = in_cnt + jnp.where(prev == c, 1, hit_in.astype(jnp.int32))
+        in_cnt = in_cnt + jnp.where(
+            prev == c, 1, hits[:, :, c].astype(jnp.int32)
+        )
+        out_cnt = out_cnt + jnp.where(
+            nxt == c, 1, hits[:, :, 4 + c].astype(jnp.int32)
+        )
+    return base & ((in_cnt > 1) | (out_cnt > 1))
 
-        Eout = pack.append_char(V, k, jnp.full(prev.shape, c, U32))
-        Rout = pack.prepend_char(rcV, k, jnp.full(prev.shape, 3 - c, U32))
-        hit_out = bloom.probe_all(filt, _canon_edge_indices(Eout, Rout, cfg), cfg.layout)
-        out_cnt = out_cnt + jnp.where(nxt == c, 1, hit_out.astype(jnp.int32))
 
-    mask = base & ((in_cnt > 1) | (out_cnt > 1))
+@partial(jax.jit, static_argnames=("cfg",))
+def pass2_mark(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
+    """Single-device mark: returns (mask (B, P), count)."""
+    idx, base, prev, nxt = mark_indices(codes, valid, low, high_incl, cfg)
+    hits = bloom.probe_all(filt, idx, cfg.layout)
+    mask = mark_decide(hits, base, prev, nxt)
     return mask, jnp.sum(mask, dtype=jnp.int64)
 
 
