@@ -1,0 +1,106 @@
+"""Benchmark: end-to-end junction enumeration throughput on real TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload: the BASELINE_MEASURED.json dataset (8 x 8 Mbase synthetic
+pangenome, 1% SNP, k=25, f=30) — the same input measured on the
+reference C++ binary (scripts/measure_baseline.py). vs_baseline is our
+bases/s divided by the reference's best multithreaded bases/s on this
+machine. The first invocation pays one-time XLA compiles (persisted in
+the compile cache); the timed run is the second, warm pass.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+K, F = 25, 30
+N_SEQS, LENGTH = 8, 8_000_000
+FA = "/tmp/twopaco_bench.fa"
+OUT = "/tmp/tpu_bench.dbg"
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    n_seqs, length = (2, 1_000_000) if quick else (N_SEQS, LENGTH)
+
+    from twopaco_tpu.testing.bench_data import write_bench_fasta
+
+    fa = FA if not quick else "/tmp/twopaco_bench_quick.fa"
+    write_bench_fasta(fa, n_seqs=n_seqs, length=length)
+    total_bases = n_seqs * length
+
+    from twopaco_tpu.passes import PipelineConfig, build_junctions
+
+    cfg = PipelineConfig(
+        k=K,
+        filter_bits=F,
+        layout="byte",
+        positions_per_row=16384,
+        rows_per_batch=128,
+        candidate_cap_frac=4,
+    )
+
+    log = (lambda s: print(s, file=sys.stderr, flush=True)) if (
+        "--verbose" in sys.argv
+    ) else (lambda s: None)
+
+    # warm-up run: compiles (persisted) + page-in; then the timed run
+    t0 = time.time()
+    build_junctions([fa], cfg, out_path=OUT, log=log)
+    warm_s = time.time() - t0
+
+    t0 = time.time()
+    enum = build_junctions([fa], cfg, out_path=OUT, log=log)
+    dt = time.time() - t0
+
+    bases_per_sec = total_bases / dt
+
+    vs_baseline = None
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+    )
+    if os.path.exists(baseline_path) and not quick:
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = max(
+            v["bases_per_sec"] for v in base["reference"].values()
+        )
+        vs_baseline = round(bases_per_sec / ref, 3)
+
+    import jax
+
+    print(
+        json.dumps(
+            {
+                "metric": "junction enumeration throughput (end-to-end, "
+                f"k={K} f={F}, {total_bases/1e6:.0f} Mbase pangenome)",
+                "value": round(bases_per_sec / 1e6, 3),
+                "unit": "Mbases/s/chip",
+                "vs_baseline": vs_baseline,
+                "detail": {
+                    "seconds": round(dt, 2),
+                    "warmup_seconds": round(warm_s, 2),
+                    "distinct_junctions": enum.vertices_count,
+                    "occurrences": enum.stats.occurrences,
+                    "device": str(jax.devices()[0]),
+                    "timings": {
+                        k: round(v, 2) for k, v in enum.stats.timings.items()
+                    },
+                    "round0": {
+                        k: (round(v, 2) if isinstance(v, float) else v)
+                        for k, v in enum.stats.rounds[0].items()
+                    },
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+// Native FASTA ingest: parse + validate + 2-bit-encode at memory bandwidth.
+//
+// TPU-native replacement for the reference's buffered char-at-a-time
+// parser (streamfastaparser.cpp:29-93) on the host side of the pipeline:
+// the TPU consumes ~10^8-10^9 codes/s, so the host encoder must not be
+// the bottleneck. Single pass over the raw bytes with a 256-entry code
+// table; semantics identical to the reference:
+//   - header = first whitespace-delimited token after '>'
+//   - whitespace in bodies skipped; chars uppercased via the table
+//   - valid chars "ACGTURYKMSWBDHWNXV" (case-insensitive); ACGT -> 0..3,
+//     other valid -> 4 (N); anything else -> error
+//
+// C ABI (used from Python via ctypes):
+//   tp_encode_fasta(path, out) -> 0 ok / negative errno-ish codes
+//   caller reads record spans from the result struct, then frees it.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct CodeTable {
+  uint8_t code[256];
+  CodeTable() {
+    memset(code, 255, sizeof(code));
+    const char* ws = " \t\r\n\v\f";
+    for (const char* p = ws; *p; ++p) code[(uint8_t)*p] = 254;
+    const char* valid = "ACGTURYKMSWBDHWNXV";
+    for (const char* p = valid; *p; ++p) {
+      code[(uint8_t)*p] = 4;
+      code[(uint8_t)(*p + 32)] = 4;  // lowercase
+    }
+    const char* lit = "ACGT";
+    for (int i = 0; i < 4; ++i) {
+      code[(uint8_t)lit[i]] = (uint8_t)i;
+      code[(uint8_t)(lit[i] + 32)] = (uint8_t)i;
+    }
+  }
+};
+const CodeTable kTable;
+
+}  // namespace
+
+extern "C" {
+
+struct TpFastaResult {
+  uint8_t* codes;        // concatenated encoded bodies
+  int64_t codes_len;
+  int64_t* rec_offsets;  // n_records+1 offsets into codes
+  int64_t n_records;
+  char* headers;         // '\0'-joined header tokens
+  int64_t headers_len;
+  char error[256];
+};
+
+// Encode one file. Returns 0 on success; on failure a negative code with
+// result->error describing the problem.
+int tp_encode_fasta(const char* path, TpFastaResult* out) {
+  memset(out, 0, sizeof(*out));
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    snprintf(out->error, sizeof(out->error), "Can't open file %s", path);
+    return -1;
+  }
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)sz);
+  if (sz > 0 && fread(buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f);
+    snprintf(out->error, sizeof(out->error), "Short read on %s", path);
+    return -2;
+  }
+  fclose(f);
+
+  std::vector<uint8_t> codes;
+  codes.reserve(buf.size());
+  std::vector<int64_t> offsets;
+  std::string headers;
+
+  size_t i = 0;
+  const size_t n = buf.size();
+  if (n == 0) {
+    out->rec_offsets = (int64_t*)malloc(sizeof(int64_t));
+    out->rec_offsets[0] = 0;
+    return 0;
+  }
+  if (buf[0] != '>') {
+    snprintf(out->error, sizeof(out->error),
+             "The FASTA header should start with a '>'");
+    return -3;
+  }
+  while (i < n) {
+    // at a record start: buf[i] == '>'
+    ++i;
+    size_t line_end = i;
+    while (line_end < n && buf[line_end] != '\n') ++line_end;
+    // header token: first whitespace-delimited token
+    size_t hs = i;
+    while (hs < line_end && (buf[hs] == ' ' || buf[hs] == '\t')) ++hs;
+    size_t he = hs;
+    while (he < line_end && buf[he] != ' ' && buf[he] != '\t' &&
+           buf[he] != '\r')
+      ++he;
+    headers.append((const char*)buf.data() + hs, he - hs);
+    headers.push_back('\0');
+    offsets.push_back((int64_t)codes.size());
+
+    i = line_end < n ? line_end + 1 : n;
+    while (i < n && buf[i] != '>') {
+      uint8_t c = kTable.code[buf[i]];
+      if (c < 5) {
+        codes.push_back(c);
+      } else if (c == 255) {
+        snprintf(out->error, sizeof(out->error),
+                 "Found an invalid character '%c' in %s", buf[i], path);
+        return -4;
+      }
+      ++i;
+    }
+  }
+  offsets.push_back((int64_t)codes.size());
+
+  out->codes_len = (int64_t)codes.size();
+  out->codes = (uint8_t*)malloc(codes.size() ? codes.size() : 1);
+  memcpy(out->codes, codes.data(), codes.size());
+  out->n_records = (int64_t)offsets.size() - 1;
+  out->rec_offsets = (int64_t*)malloc(offsets.size() * sizeof(int64_t));
+  memcpy(out->rec_offsets, offsets.data(), offsets.size() * sizeof(int64_t));
+  out->headers_len = (int64_t)headers.size();
+  out->headers = (char*)malloc(headers.size() ? headers.size() : 1);
+  memcpy(out->headers, headers.data(), headers.size());
+  return 0;
+}
+
+void tp_free_result(TpFastaResult* r) {
+  free(r->codes);
+  free(r->rec_offsets);
+  free(r->headers);
+  memset(r, 0, sizeof(*r));
+}
+
+}  // extern "C"

@@ -45,7 +45,20 @@ def _parse_buffer(buf: np.ndarray, path: str) -> Iterator[tuple[str, np.ndarray]
 
 
 def read_fasta(path: str | os.PathLike) -> Iterator[tuple[str, np.ndarray]]:
-    """Yield (header, codes uint8[0..4]) per record, in file order."""
+    """Yield (header, codes uint8[0..4]) per record, in file order.
+
+    Uses the native C++ encoder (native/fastaio.cpp) when available,
+    falling back to the vectorized numpy parser."""
+    from twopaco_tpu.io import native
+
+    if native.available():
+        try:
+            recs = native.encode_fasta_native(os.fspath(path))
+        except RuntimeError as e:
+            raise FastaError(str(e)) from None
+        if recs is not None:
+            yield from recs
+            return
     buf = np.fromfile(os.fspath(path), dtype=np.uint8)
     yield from _parse_buffer(buf, os.fspath(path))
 

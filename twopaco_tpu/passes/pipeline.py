@@ -50,6 +50,7 @@ class PipelineConfig:
     layout: str = "auto"  # bloom layout: auto|byte|bit
     positions_per_row: int = 2048
     rows_per_batch: int = 256
+    candidate_cap_frac: int = 8  # extract capacity = B*P / this
 
     def resolve_layout(self) -> str:
         if self.layout != "auto":
@@ -207,7 +208,7 @@ def build_junctions(
     # ---- rounds: fill -> mark -> verify --------------------------------
     all_junction_words: list[np.ndarray] = []
     round_masks: list[list[np.ndarray]] = []  # [round][batch] packed bits
-    base_cap = max(1024, (cfg.B * cfg.P) // 16)
+    base_cap = max(1024, (cfg.B * cfg.P) // config.candidate_cap_frac)
     for r, (low, high) in enumerate(intervals):
         low_d, high_d = jnp.uint32(low), jnp.uint32(high)
         log(f"Round {r}, {low}:{high}")
@@ -225,19 +226,21 @@ def build_junctions(
         rec_in: list[np.ndarray] = []
         rec_out: list[np.ndarray] = []
         masks_here: list[np.ndarray] = []
+        # dispatch the whole pass asynchronously, sync once at the end
+        pending = []
         for codes_d, valid_d in dev_batches:
-            mask, cnt = kernels.pass2_mark(
+            mask, _cnt = kernels.pass2_mark(
                 filt, codes_d, valid_d, low_d, high_d, cfg=cfg
             )
-            cap = base_cap
             words, in_c, out_c, count = kernels.extract_records(
-                codes_d, mask, cfg=cfg, cap=cap
+                codes_d, mask, cfg=cfg, cap=base_cap
             )
+            pending.append((codes_d, mask, words, in_c, out_c, count))
+        for codes_d, mask, words, in_c, out_c, count in pending:
             count = int(count)
-            if count > cap:
-                cap = cfg.B * cfg.P
+            if count > base_cap:  # rare: recompute with full capacity
                 words, in_c, out_c, count2 = kernels.extract_records(
-                    codes_d, mask, cfg=cfg, cap=cap
+                    codes_d, mask, cfg=cfg, cap=cfg.B * cfg.P
                 )
                 count = int(count2)
             marks_count += count
@@ -246,7 +249,7 @@ def build_junctions(
             rec_out.append(np.asarray(out_c[:count]))
             masks_here.append(np.packbits(np.asarray(mask), axis=1))
         round_masks.append(masks_here)
-        del filt
+        del filt, pending
         t_mark = time.time() - t0
 
         # ---- exact verification (device sort + segmented reduce) -------
@@ -322,7 +325,8 @@ def build_junctions(
         stub_id = len(table) + STUB_ID_OFFSET
         occurrences = 0
         with junction_io.JunctionWriter(out_path) as writer:
-            for bi, (b, (codes_d, valid_d)) in enumerate(zip(batches, dev_batches)):
+            pending = []
+            for bi, (codes_d, valid_d) in enumerate(dev_batches):
                 packed = round_masks[0][bi].copy()
                 for rm in round_masks[1:]:
                     packed |= rm[bi]
@@ -330,6 +334,8 @@ def build_junctions(
                 ids, _n = kernels.pass4_lookup(
                     codes_d, jnp.asarray(mask), valid_d, table_d, cfg=cfg
                 )
+                pending.append(ids)
+            for b, ids in zip(batches, pending):
                 ids = np.asarray(ids)
                 for r_i in range(cfg.B):
                     sid = int(b.seq_id[r_i])
