@@ -52,10 +52,16 @@ def fill(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray, layout: str) -
     idx = idx.reshape(-1)
     valid = valid.reshape(-1)
     if layout == "byte":
-        safe = jnp.where(valid, idx, 0).astype(jnp.int64)
+        safe = jnp.where(valid, idx, 0).astype(_index_dtype(filt.shape[0]))
         upd = valid.astype(jnp.uint8)
         return filt.at[safe].max(upd, mode="promise_in_bounds")
     return _fill_bits(filt, idx, valid)
+
+
+def _index_dtype(n: int):
+    """int32 whenever the array is addressable with it: 64-bit ints are
+    software-emulated on TPU and bloat both compile and run time."""
+    return jnp.int32 if n <= (1 << 31) else jnp.int64
 
 
 def _fill_bits(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +95,7 @@ def _fill_bits(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.n
 def probe(filt: jnp.ndarray, idx: jnp.ndarray, layout: str) -> jnp.ndarray:
     """Test Bloom slots; True where the bit is set. idx any shape."""
     if layout == "byte":
-        return filt[idx.astype(jnp.int64)] > 0
+        return filt[idx.astype(_index_dtype(filt.shape[0]))] > 0
     word = (idx >> 5).astype(jnp.int32)
     bit = (idx & 31).astype(U32)
     return ((filt[word] >> bit) & U32(1)) > 0

@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from twopaco_tpu.ops import bloom, hashing, pack
+from twopaco_tpu.ops import bloom, buzhash as bz, hashing, pack
 
 U32 = jnp.uint32
 INVALID_ID = jnp.int64((1 << 63) - 1)  # reference INVALID_VERTEX (common.cpp:5)
@@ -98,9 +98,33 @@ def _within(h: jnp.ndarray, low: jnp.ndarray, high_incl: jnp.ndarray) -> jnp.nda
     return (h >= low) & (h <= high_incl)
 
 
-def _canon_edge_indices(E, rcE, cfg: PassConfig):
-    canon, _ = pack.canonical(E, rcE)
-    return hashing.bloom_indices(canon, cfg.q, cfg.f)
+def _tables(cfg: PassConfig):
+    tabs = [bz.TABLE_1, bz.TABLE_2]
+    if cfg.f > 32:
+        tabs += [bz.TABLE_3, bz.TABLE_4]
+    return tabs
+
+
+def _hash_state(codes: jnp.ndarray, cfg: PassConfig, n_out: int):
+    """Per-offset strand-pair window hashes [(hf, hr), ...] per table.
+
+    The whole-batch replacement for the reference's per-char rolling
+    state (vertexrollinghash.h:54-206): two prefix-XOR scans per table,
+    then O(1) per offset.
+    """
+    return [
+        bz.window_hashes(*bz.hash_scans(codes, t), cfg.k, n_out)
+        for t in _tables(cfg)
+    ]
+
+
+def _probe_idx(sym_hashes, cfg: PassConfig):
+    e = sym_hashes  # one per table
+    if cfg.f <= 32:
+        return bz.probe_indices_from_sym(e[0], e[1], cfg.q, cfg.f)
+    return bz.probe_indices_from_sym(
+        e[0], e[1], cfg.q, cfg.f, e3=e[2], e4=e[3]
+    )
 
 
 def fill_indices(codes, valid, low, high_incl, cfg: PassConfig):
@@ -115,53 +139,38 @@ def fill_indices(codes, valid, low, high_incl, cfg: PassConfig):
         interval (:1066-1072).
     """
     k, P = cfg.k, cfg.P
-    words_all, rc_all, def_all = _strand_arrays(codes, cfg)
-    V, rcV, defV = (
-        words_all[:, 1 : P + 1],
-        rc_all[:, 1 : P + 1],
-        def_all[:, 1 : P + 1],
-    )
+    tabs = _tables(cfg)
+    state = _hash_state(codes, cfg, P + 2)  # offsets 0..P+1
+    def_all = pack.window_all_definite(codes, k, P + 2)
+    hv_all = state[0][0] + state[0][1]  # strand-symmetric vertex hash
+    hv, hvn = hv_all[:, 1 : P + 1], hv_all[:, 2 : P + 2]
+    defV, defVn = def_all[:, 1 : P + 1], def_all[:, 2 : P + 2]
     prev = codes[:, 0:P]
     nxt = codes[:, k + 1 : k + 1 + P]
-    canonV, _ = pack.canonical(V, rcV)
-    hv = hashing.vertex_hash(canonV)
-    # next-vertex peek (offset i+2)
-    Vn, rcVn, defVn = (
-        words_all[:, 2 : P + 2],
-        rc_all[:, 2 : P + 2],
-        def_all[:, 2 : P + 2],
-    )
-    canonVn, _ = pack.canonical(Vn, rcVn)
-    hvn = hashing.vertex_hash(canonVn)
 
     in_round = _within(hv, low, high_incl) | (defVn & _within(hvn, low, high_incl))
     base = _pos_ok(valid, P) & defV & in_round
     next_def = nxt < 4
     prev_def = prev < 4
 
-    c0 = jnp.where(next_def, nxt, 0).astype(U32)
-    slots = [
-        (pack.append_char(V, k, c0), pack.prepend_char(rcV, k, U32(3) - c0), base),
-        (
-            pack.append_char(V, k, jnp.full_like(c0, 3)),
-            pack.prepend_char(rcV, k, jnp.zeros_like(c0)),
-            base & ~next_def,
-        ),
-        (
-            pack.prepend_char(V, k, jnp.zeros_like(c0)),
-            pack.append_char(rcV, k, jnp.full_like(c0, 3)),
-            base & ~prev_def,
-        ),
-        (
-            pack.prepend_char(V, k, jnp.full_like(c0, 3)),
-            pack.append_char(rcV, k, jnp.zeros_like(c0)),
-            base & ~prev_def,
-        ),
+    hfhr = [(hf[:, 1 : P + 1], hr[:, 1 : P + 1]) for hf, hr in state]
+    c0 = jnp.where(next_def, nxt, 0)
+    slot_defs = [
+        (lambda t, hf, hr: bz.out_edge_sym(hf, hr, t, c0, k), base),
+        (lambda t, hf, hr: bz.out_edge_sym(hf, hr, t, 3, k), base & ~next_def),
+        (lambda t, hf, hr: bz.in_edge_sym(hf, hr, t, 0, k), base & ~prev_def),
+        (lambda t, hf, hr: bz.in_edge_sym(hf, hr, t, 3, k), base & ~prev_def),
     ]
     idx = jnp.stack(
-        [_canon_edge_indices(E, R, cfg) for E, R, _ in slots], axis=2
+        [
+            _probe_idx(
+                [mk(t, hf, hr) for t, (hf, hr) in zip(tabs, hfhr)], cfg
+            )
+            for mk, _v in slot_defs
+        ],
+        axis=2,
     )  # (B, P, 4, q)
-    val = jnp.stack([v for _, _, v in slots], axis=2)  # (B, P, 4)
+    val = jnp.stack([v for _mk, v in slot_defs], axis=2)  # (B, P, 4)
     val = jnp.broadcast_to(val[..., None], idx.shape)
     return idx, val
 
@@ -170,6 +179,9 @@ def fill_indices(codes, valid, low, high_incl, cfg: PassConfig):
 def pass1_fill(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
     """Single-device fill: insert this batch's edges; returns the filter."""
     idx, val = fill_indices(codes, valid, low, high_incl, cfg)
+    # Materialize the indices before the scatter: letting XLA fuse the
+    # index computation into the scatter serializes it (~1000x slower).
+    idx, val = jax.lax.optimization_barrier((idx, val))
     return bloom.fill(filt, idx, val, cfg.layout)
 
 
@@ -180,20 +192,37 @@ def mark_indices(codes, valid, low, high_incl, cfg: PassConfig):
     Probe slots 0..3 are in-edges c·V, 4..7 out-edges V·c for c=A,C,G,T.
     """
     k, P = cfg.k, cfg.P
-    _, _, _, V, rcV, defV, prev, nxt = _vertex_views(codes, cfg)
-    canonV, _ = pack.canonical(V, rcV)
-    hv = hashing.vertex_hash(canonV)
+    tabs = _tables(cfg)
+    state = _hash_state(codes, cfg, P + 1)  # offsets 0..P
+    def_all = pack.window_all_definite(codes, k, P + 1)
+    hv = state[0][0][:, 1 : P + 1] + state[0][1][:, 1 : P + 1]
+    defV = def_all[:, 1 : P + 1]
+    prev = codes[:, 0:P]
+    nxt = codes[:, k + 1 : k + 1 + P]
     base = _pos_ok(valid, P) & defV & _within(hv, low, high_incl)
 
+    hfhr = [(hf[:, 1 : P + 1], hr[:, 1 : P + 1]) for hf, hr in state]
     slots = []
     for c in range(4):
-        Ein = pack.prepend_char(V, k, jnp.full(prev.shape, c, U32))
-        Rin = pack.append_char(rcV, k, jnp.full(prev.shape, 3 - c, U32))
-        slots.append(_canon_edge_indices(Ein, Rin, cfg))
+        slots.append(
+            _probe_idx(
+                [
+                    bz.in_edge_sym(hf, hr, t, c, k)
+                    for t, (hf, hr) in zip(tabs, hfhr)
+                ],
+                cfg,
+            )
+        )
     for c in range(4):
-        Eout = pack.append_char(V, k, jnp.full(prev.shape, c, U32))
-        Rout = pack.prepend_char(rcV, k, jnp.full(prev.shape, 3 - c, U32))
-        slots.append(_canon_edge_indices(Eout, Rout, cfg))
+        slots.append(
+            _probe_idx(
+                [
+                    bz.out_edge_sym(hf, hr, t, c, k)
+                    for t, (hf, hr) in zip(tabs, hfhr)
+                ],
+                cfg,
+            )
+        )
     return jnp.stack(slots, axis=2), base, prev, nxt
 
 
@@ -222,6 +251,9 @@ def mark_decide(hits, base, prev, nxt):
 def pass2_mark(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
     """Single-device mark: returns (mask (B, P), count)."""
     idx, base, prev, nxt = mark_indices(codes, valid, low, high_incl, cfg)
+    # Barrier: fusing index math into the gather serializes it (see
+    # pass1_fill); materialize indices, then gather at full bandwidth.
+    idx = jax.lax.optimization_barrier(idx)
     hits = bloom.probe_all(filt, idx, cfg.layout)
     mask = mark_decide(hits, base, prev, nxt)
     return mask, jnp.sum(mask, dtype=jnp.int64)
@@ -356,9 +388,11 @@ def histogram_vertex_hashes(codes, valid, *, cfg: PassConfig, bin_pow: int = 16)
     """Per-bin counts of canonical vertex hashes (multi-round splitting;
     reference InitialFilterFillerWorker, vertexenumerator.h:503-583)."""
     P = cfg.P
-    _, _, _, V, rcV, defV, _, _ = _vertex_views(codes, cfg)
-    canonV, _ = pack.canonical(V, rcV)
-    hv = hashing.vertex_hash(canonV)
+    hf, hr = bz.window_hashes(
+        *bz.hash_scans(codes, bz.TABLE_1), cfg.k, P + 1
+    )
+    hv = hf[:, 1 : P + 1] + hr[:, 1 : P + 1]
+    defV = pack.window_all_definite(codes, cfg.k, P + 1)[:, 1 : P + 1]
     ok = _pos_ok(valid, P) & defV
     bins = (hv >> (32 - bin_pow)).astype(jnp.int32).reshape(-1)
     return jnp.zeros(1 << bin_pow, jnp.int32).at[bins].add(
