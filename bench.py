@@ -42,7 +42,6 @@ def main() -> None:
         layout="byte",
         positions_per_row=16384,
         rows_per_batch=128,
-        candidate_cap_frac=4,
     )
 
     log = (lambda s: print(s, file=sys.stderr, flush=True)) if (

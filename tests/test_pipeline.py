@@ -37,14 +37,15 @@ def marks_from_file(path, seqs, k):
 
 @pytest.mark.parametrize("k", [3, 5, 7, 9])
 @pytest.mark.parametrize("rounds", [1, 3])
-def test_differential_vs_oracle(tmp_path, k, rounds):
+@pytest.mark.parametrize("engine", ["sort", "bloom"])
+def test_differential_vs_oracle(tmp_path, k, rounds, engine):
     rng = np.random.default_rng(1234 + k + rounds)
     base = oracle.generate_sequence(rng, 900)
     seqs = [base] + [
         oracle.mutate_sequence(rng, base, 0.05, 0.1) for _ in range(3)
     ]
     out = str(tmp_path / "out.bin")
-    enum = run_pipeline(seqs, k, out, rounds=rounds)
+    enum = run_pipeline(seqs, k, out, rounds=rounds, engine=engine)
     junc, want = oracle.find_junctions_naively(seqs, k)
     got = marks_from_file(out, seqs, k)
     for i in range(len(seqs)):

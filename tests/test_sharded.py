@@ -84,7 +84,7 @@ def test_sharded_equals_single_device(mesh, layout):
         )
         assert int(overflow) == 0
         np.testing.assert_array_equal(np.asarray(mask), m1)
-        assert int(count) == int(m1.sum())
+        assert int(count) == int(np.unpackbits(m1).sum())
 
 
 def test_bucket_routing_and_overflow():

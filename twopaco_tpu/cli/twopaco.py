@@ -57,6 +57,14 @@ def make_parser() -> argparse.ArgumentParser:
         help="Output file name prefix",
     )
     p.add_argument(
+        "--tpu-profile", default=None, metavar="DIR",
+        help="Write a jax.profiler trace of the run to DIR",
+    )
+    p.add_argument(
+        "--tpu-engine", choices=["sort", "bloom"], default="sort",
+        help="Device engine: sort-join (default) or Bloom two-pass",
+    )
+    p.add_argument(
         "--tpu-layout", choices=["auto", "byte", "bit"], default="auto",
         help="Bloom filter memory layout",
     )
@@ -109,10 +117,15 @@ def main(argv: list[str] | None = None) -> int:
         layout=args.tpu_layout,
         positions_per_row=args.tpu_positions,
         rows_per_batch=args.tpu_rows,
+        engine=args.tpu_engine,
     )
     try:
         enum = build_junctions(
-            args.filenames, cfg, out_path=args.outfile, log=print
+            args.filenames,
+            cfg,
+            out_path=args.outfile,
+            log=print,
+            profile_dir=args.tpu_profile,
         )
     except (OSError, RuntimeError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)

@@ -191,7 +191,7 @@ def _mark_shard_fn(filt_local, codes, valid, low, high, *, scfg, cap):
     hits_q = jnp.all(hits, axis=-1)
     mask = kernels.mark_decide(hits_q, base, prev, nxt)
     return (
-        mask,
+        kernels.pack_mask(mask),
         jax.lax.psum(jnp.sum(mask, dtype=jnp.int64), "shard"),
         jax.lax.psum(overflow, "shard"),
     )

@@ -247,28 +247,52 @@ def mark_decide(hits, base, prev, nxt):
     return base & ((in_cnt > 1) | (out_cnt > 1))
 
 
+def pack_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, P) bool -> (B, P//8) uint8, np.unpackbits-compatible (MSB
+    first). Keeps host<->device mask traffic 8x smaller."""
+    B, P = mask.shape
+    assert P % 8 == 0
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (
+        (mask.reshape(B, P // 8, 8).astype(jnp.uint8) * w)
+        .sum(axis=-1, dtype=jnp.uint32)
+        .astype(jnp.uint8)
+    )
+
+
+def unpack_mask(packed: jnp.ndarray, P: int) -> jnp.ndarray:
+    """(B, P//8) uint8 -> (B, P) bool."""
+    B = packed.shape[0]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & 1
+    return bits.reshape(B, -1)[:, :P] > 0
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def pass2_mark(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
-    """Single-device mark: returns (mask (B, P), count)."""
+    """Single-device mark: returns (packed mask (B, P//8), count)."""
     idx, base, prev, nxt = mark_indices(codes, valid, low, high_incl, cfg)
     # Barrier: fusing index math into the gather serializes it (see
     # pass1_fill); materialize indices, then gather at full bandwidth.
     idx = jax.lax.optimization_barrier(idx)
     hits = bloom.probe_all(filt, idx, cfg.layout)
     mask = mark_decide(hits, base, prev, nxt)
-    return mask, jnp.sum(mask, dtype=jnp.int64)
+    return pack_mask(mask), jnp.sum(mask, dtype=jnp.int64)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cap"))
-def extract_records(codes, mask, *, cfg: PassConfig, cap: int):
+def extract_records(codes, packed_mask, *, cfg: PassConfig, cap: int):
     """Gather candidate occurrence records from a marked batch.
 
     Record = (canonical k-mer words, in-extension, out-extension) in the
     canonical orientation: an RC-canonical occurrence contributes
     (comp(next), comp(prev)) (reference CandidateOccurence::Set,
     candidateoccurence.h:25-50). Returns (words (cap,w), in, out, count).
+    `cap` should be a bucketed power of two so only a handful of
+    executables exist across batches.
     """
     k, P, B = cfg.k, cfg.P, cfg.B
+    mask = unpack_mask(packed_mask, P)
     _, _, _, V, rcV, _, prev, nxt = _vertex_views(codes, cfg)
     canonV, is_rc = pack.canonical(V, rcV)
     in_code = jnp.where(is_rc, _comp4(nxt), prev)
@@ -338,19 +362,27 @@ def verify_records(words, in_code, out_code, abundance, *, w: int):
     return sw, keep_first, n_groups, jnp.sum(keep_first, dtype=jnp.int64)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def pass4_lookup(codes, mask, valid, table, *, cfg: PassConfig):
-    """Junction ids per candidate position; INVALID elsewhere.
+INVALID_ID32 = jnp.int32((1 << 31) - 1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cap"))
+def pass4_lookup(codes, packed_mask, valid, table, *, cfg: PassConfig, cap: int):
+    """Junction ids for this batch's candidate positions, compacted.
 
     table: (J, w) sorted canonical k-mers. id = +(rank+1) when the
     positive-strand k-mer is in the table, else -(rank+1) for its RC
     (reference BifurcationStorage::GetId, bifurcationstorage.h:100-153).
-    Returns (ids (B, P) int64, n_found).
+    Returns (flat_pos int32 (cap,), ids int32 (cap,), count): ascending
+    flat positions (row*P + col) of found junctions only.
     """
     k, P, B = cfg.k, cfg.P, cfg.B
     if table.shape[0] == 0:  # nothing to find; only stubs exist
-        ids = jnp.full((B, P), INVALID_ID, jnp.int64)
-        return ids, jnp.int64(0)
+        return (
+            jnp.full(cap, B * P, jnp.int32),
+            jnp.full(cap, INVALID_ID32, jnp.int32),
+            jnp.int32(0),
+        )
+    mask = unpack_mask(packed_mask, P)
     _, _, _, V, rcV, defV, _, _ = _vertex_views(codes, cfg)
     base = _pos_ok(valid, P) & defV & mask
 
@@ -370,17 +402,22 @@ def pass4_lookup(codes, mask, valid, table, *, cfg: PassConfig):
         found = pack.lex_eq(trow, keys) & in_range
         return lo, found
 
+    base_flat = base.reshape(-1)
     keys = V.reshape(B * P, cfg.w)
     keys_rc = rcV.reshape(B * P, cfg.w)
     lo_p, found_p = lower_bound(keys)
     lo_n, found_n = lower_bound(keys_rc)
     ids = jnp.where(
         found_p,
-        lo_p.astype(jnp.int64) + 1,
-        jnp.where(found_n, -(lo_n.astype(jnp.int64) + 1), INVALID_ID),
+        lo_p + 1,
+        jnp.where(found_n, -(lo_n + 1), INVALID_ID32),
     )
-    ids = jnp.where(base.reshape(-1), ids, INVALID_ID).reshape(B, P)
-    return ids, jnp.sum(ids != INVALID_ID, dtype=jnp.int64)
+    hit = base_flat & (ids != INVALID_ID32)
+    count = jnp.sum(hit, dtype=jnp.int32)
+    (pos,) = jnp.nonzero(hit, size=cap, fill_value=B * P)
+    out_ids = ids[jnp.clip(pos, 0, B * P - 1)]
+    out_ids = jnp.where(pos < B * P, out_ids, INVALID_ID32)
+    return pos.astype(jnp.int32), out_ids, count
 
 
 @partial(jax.jit, static_argnames=("cfg", "bin_pow"))

@@ -48,9 +48,9 @@ class PipelineConfig:
     rounds: int = 1  # reference -r
     abundance: int = (1 << 64) - 1  # reference -a
     layout: str = "auto"  # bloom layout: auto|byte|bit
-    positions_per_row: int = 2048
+    positions_per_row: int = 2048  # must be a multiple of 8 (packed masks)
     rows_per_batch: int = 256
-    candidate_cap_frac: int = 8  # extract capacity = B*P / this
+    engine: str = "sort"  # 'sort' (sort-join, default) | 'bloom'
 
     def resolve_layout(self) -> str:
         if self.layout != "auto":
@@ -151,18 +151,40 @@ def _next_pow2(n: int) -> int:
     return 1 << max(10, (n - 1).bit_length())
 
 
+def _bucket_cap(count: int, hard_max: int) -> int:
+    """Capacity bucket (pow2, >= count) so few distinct shapes compile."""
+    return min(_next_pow2(max(count, 1)), hard_max)
+
+
 def build_junctions(
     input_paths: Sequence[str] | None,
     config: PipelineConfig,
     out_path: str | None = None,
     sequences: Sequence[tuple[int, np.ndarray]] | None = None,
     log: Callable[[str], None] = lambda s: None,
+    profile_dir: str | None = None,
 ) -> Enumerator:
     """Run the full pipeline; returns the Enumerator (junction dict).
 
     input_paths: FASTA files (reference CLI order) — or pass `sequences`
-    directly as [(seq_id, codes uint8)].
+    directly as [(seq_id, codes uint8)]. profile_dir: write a
+    jax.profiler trace of the device passes there (the reference's only
+    observability is coarse per-pass wall clock, SURVEY.md §5; we get
+    real traces).
     """
+    if profile_dir is not None:
+        import jax.profiler
+
+        with jax.profiler.trace(profile_dir):
+            return build_junctions(
+                input_paths, config, out_path, sequences, log, None
+            )
+    if config.engine == "sort":
+        from twopaco_tpu.passes import sortpipe
+
+        return sortpipe.build_junctions_sorted(
+            input_paths, config, out_path, sequences, log
+        )
     cfg = config.pass_config()
     wcfg = config.window_config()
     stats = RunStats()
@@ -208,7 +230,7 @@ def build_junctions(
     # ---- rounds: fill -> mark -> verify --------------------------------
     all_junction_words: list[np.ndarray] = []
     round_masks: list[list[np.ndarray]] = []  # [round][batch] packed bits
-    base_cap = max(1024, (cfg.B * cfg.P) // config.candidate_cap_frac)
+    round_counts: list[list[int]] = []  # [round][batch] candidate counts
     for r, (low, high) in enumerate(intervals):
         low_d, high_d = jnp.uint32(low), jnp.uint32(high)
         log(f"Round {r}, {low}:{high}")
@@ -226,30 +248,34 @@ def build_junctions(
         rec_in: list[np.ndarray] = []
         rec_out: list[np.ndarray] = []
         masks_here: list[np.ndarray] = []
-        # dispatch the whole pass asynchronously, sync once at the end
+        counts_here: list[int] = []
+        # dispatch the whole mark pass asynchronously; only the 8-byte
+        # counts sync before extraction (which is capacity-bucketed so a
+        # handful of executables cover every batch)
         pending = []
         for codes_d, valid_d in dev_batches:
-            mask, _cnt = kernels.pass2_mark(
+            packed, cnt = kernels.pass2_mark(
                 filt, codes_d, valid_d, low_d, high_d, cfg=cfg
             )
-            words, in_c, out_c, count = kernels.extract_records(
-                codes_d, mask, cfg=cfg, cap=base_cap
+            pending.append((codes_d, packed, cnt))
+        pending2 = []
+        for codes_d, packed, cnt in pending:
+            count = int(cnt)
+            cap = _bucket_cap(count, cfg.B * cfg.P)
+            words, in_c, out_c, _c = kernels.extract_records(
+                codes_d, packed, cfg=cfg, cap=cap
             )
-            pending.append((codes_d, mask, words, in_c, out_c, count))
-        for codes_d, mask, words, in_c, out_c, count in pending:
-            count = int(count)
-            if count > base_cap:  # rare: recompute with full capacity
-                words, in_c, out_c, count2 = kernels.extract_records(
-                    codes_d, mask, cfg=cfg, cap=cfg.B * cfg.P
-                )
-                count = int(count2)
+            pending2.append((packed, words, in_c, out_c, count))
+        for packed, words, in_c, out_c, count in pending2:
             marks_count += count
-            rec_words.append(np.asarray(words[:count]))
-            rec_in.append(np.asarray(in_c[:count]))
-            rec_out.append(np.asarray(out_c[:count]))
-            masks_here.append(np.packbits(np.asarray(mask), axis=1))
+            rec_words.append(np.asarray(words)[:count])
+            rec_in.append(np.asarray(in_c)[:count])
+            rec_out.append(np.asarray(out_c)[:count])
+            masks_here.append(np.asarray(packed))
+            counts_here.append(count)
         round_masks.append(masks_here)
-        del filt, pending
+        round_counts.append(counts_here)
+        del filt, pending, pending2
         t_mark = time.time() - t0
 
         # ---- exact verification (device sort + segmented reduce) -------
@@ -328,15 +354,21 @@ def build_junctions(
             pending = []
             for bi, (codes_d, valid_d) in enumerate(dev_batches):
                 packed = round_masks[0][bi].copy()
-                for rm in round_masks[1:]:
+                bound = round_counts[0][bi]
+                for rm, rc_ in zip(round_masks[1:], round_counts[1:]):
                     packed |= rm[bi]
-                mask = np.unpackbits(packed, axis=1)[:, : cfg.P].astype(bool)
-                ids, _n = kernels.pass4_lookup(
-                    codes_d, jnp.asarray(mask), valid_d, table_d, cfg=cfg
+                    bound += rc_[bi]
+                cap = _bucket_cap(bound, cfg.B * cfg.P)
+                pos_f, ids_f, cnt = kernels.pass4_lookup(
+                    codes_d, jnp.asarray(packed), valid_d, table_d,
+                    cfg=cfg, cap=cap,
                 )
-                pending.append(ids)
-            for b, ids in zip(batches, pending):
-                ids = np.asarray(ids)
+                pending.append((pos_f, ids_f, cnt))
+            for b, (pos_f, ids_f, cnt) in zip(batches, pending):
+                cnt = int(cnt)
+                pos_f = np.asarray(pos_f)[:cnt]
+                ids_f = np.asarray(ids_f)[:cnt].astype(np.int64)
+                P = cfg.P
                 for r_i in range(cfg.B):
                     sid = int(b.seq_id[r_i])
                     if sid < 0:
@@ -344,21 +376,46 @@ def build_junctions(
                     v = int(b.valid[r_i])
                     p0 = int(b.pos0[r_i])
                     n_pos = int(b.n_pos[r_i])
-                    row = ids[r_i, :v].copy()
-                    if p0 == 1 and row[0] == INVALID_VERTEX:
-                        row[0] = stub_id
+                    lo = np.searchsorted(pos_f, r_i * P)
+                    hi = np.searchsorted(pos_f, r_i * P + v)
+                    cols = pos_f[lo:hi] - r_i * P
+                    row_ids = ids_f[lo:hi]
+                    # endpoint stubs (EdgeConstructionWorker,
+                    # vertexenumerator.h:942-948): fresh sequential ids
+                    # for unresolved first/last positions of a sequence
+                    pre: list[tuple[int, int]] = []
+                    post: list[tuple[int, int]] = []
+                    first_stubbed = False
+                    if p0 == 1 and (len(cols) == 0 or cols[0] != 0):
+                        pre.append((0, stub_id))
                         stub_id += 1
+                        first_stubbed = True
                     j_last = n_pos - p0
-                    if 0 <= j_last < v and row[j_last] == INVALID_VERTEX:
-                        row[j_last] = stub_id
-                        stub_id += 1
-                    keep = row != INVALID_VERTEX
-                    if keep.any():
-                        positions = (p0 - 1 + np.nonzero(keep)[0]).astype(
-                            np.uint32
+                    if 0 <= j_last < v and not (
+                        first_stubbed and j_last == 0
+                    ):
+                        at = np.searchsorted(cols, j_last)
+                        if at >= len(cols) or cols[at] != j_last:
+                            post.append((j_last, stub_id))
+                            stub_id += 1
+                    if pre or post or len(cols):
+                        all_cols = np.concatenate(
+                            [
+                                np.asarray([c for c, _ in pre], np.int64),
+                                cols,
+                                np.asarray([c for c, _ in post], np.int64),
+                            ]
                         )
-                        writer.write_array(sid, positions, row[keep])
-                        occurrences += int(keep.sum())
+                        all_ids = np.concatenate(
+                            [
+                                np.asarray([i for _, i in pre], np.int64),
+                                row_ids,
+                                np.asarray([i for _, i in post], np.int64),
+                            ]
+                        )
+                        positions = (p0 - 1 + all_cols).astype(np.uint32)
+                        writer.write_array(sid, positions, all_ids)
+                        occurrences += len(all_cols)
         stats.occurrences = occurrences
         stats.stub_ids = stub_id - len(table) - STUB_ID_OFFSET
         stats.timings["emit"] = time.time() - t0

@@ -1,0 +1,408 @@
+"""Sort-join junction engine: the TPU-native default pipeline.
+
+The reference's Bloom-filter two-pass design exists because a 2005-era
+CPU cannot hold or sort all k-mers: random single-bit probes are its
+cheapest primitive (SURVEY.md §0). On TPU the cost model inverts — XLA's
+gather/scatter over HBM is a ~13ns/element *serial* loop, while
+`lax.sort` streams ~180M multi-word records/s. So the native engine is a
+sort-join:
+
+  1. per window batch, build one record per vertex position:
+       (canonical k-mer words, packed {in, out, is_rc}, flat position)
+     — O(1)/position, fully vectorized (ops/pack);
+  2. one device sort of the round's records by the w k-mer words;
+  3. segmented reduction marks junction groups (distinct-extension rule,
+     identical semantics to the reference hash-table merge,
+     vertexenumerator.h:778-796 — and to kernels.verify_records);
+  4. junction ids fall out of the SAME sort: rank among junction groups
+     in k-mer order == the sorted-dictionary rank the Bloom path
+     computes with binary searches;
+  5. occurrences (position, ±id) are compacted and re-sorted by
+     position; stubs are assigned on the host exactly as in the Bloom
+     path.
+
+Exactness: no Bloom false positives, no verification pass, no filter
+memory. Multi-round mode partitions the record set by the symmetric
+vertex hash to bound the sort working set (the reference's -r semantics
+across time; rounds' junction tables are merged and local ids remapped
+to global ranks at the end).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twopaco_tpu import dna
+from twopaco_tpu.io import fasta as fasta_io
+from twopaco_tpu.io import junctions as junction_io
+from twopaco_tpu.io import windows
+from twopaco_tpu.ops import buzhash as bz
+from twopaco_tpu.ops import pack
+from twopaco_tpu.passes import kernels
+from twopaco_tpu.passes.pipeline import (
+    Enumerator,
+    PipelineConfig,
+    RunStats,
+    STUB_ID_OFFSET,
+    _bucket_cap,
+    _split_rounds,
+)
+
+U32 = jnp.uint32
+SENTINEL_WORD = jnp.uint32(0xFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
+    """One record per vertex position of the batch.
+
+    -> (words (B*P, w) canonical, payload (B*P,) u32 = in | out<<8 |
+    is_rc<<16, pos (B*P,) u32 global flat position). Invalid /
+    non-definite / out-of-round rows become all-ones sentinels that sort
+    to the end.
+    """
+    k, P, B = cfg.k, cfg.P, cfg.B
+    words_all, rc_all, def_all = kernels._strand_arrays(codes, cfg)
+    V = words_all[:, 1 : P + 1]
+    rcV = rc_all[:, 1 : P + 1]
+    defV = def_all[:, 1 : P + 1]
+    prev = codes[:, 0:P]
+    nxt = codes[:, k + 1 : k + 1 + P]
+    canonV, is_rc = pack.canonical(V, rcV)
+
+    hf, hr = bz.window_hashes(
+        *bz.hash_scans(codes, bz.TABLE_1), k, P + 1
+    )
+    hv = hf[:, 1 : P + 1] + hr[:, 1 : P + 1]
+    ok = (
+        kernels._pos_ok(valid, P)
+        & defV
+        & kernels._within(hv, low, high_incl)
+    )
+
+    in_code = jnp.where(is_rc, kernels._comp4(nxt), prev).astype(U32)
+    out_code = jnp.where(is_rc, kernels._comp4(prev), nxt).astype(U32)
+    payload = (
+        in_code
+        | (out_code << 8)
+        | (is_rc.astype(U32) << 16)
+        | (ok.astype(U32) << 17)  # 'real record' bit
+    )
+
+    words = jnp.where(ok[..., None], canonV, SENTINEL_WORD)
+    payload = jnp.where(ok, payload, U32(0))
+    flat = (
+        (row0.astype(jnp.uint32) + jnp.arange(B, dtype=jnp.uint32))[:, None]
+        * U32(P)
+        + jnp.arange(P, dtype=jnp.uint32)[None, :]
+    )
+    return (
+        words.reshape(B * P, cfg.w),
+        payload.reshape(-1),
+        flat.reshape(-1),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def append_records(buf_w, buf_pay, buf_pos, words, payload, pos, offset):
+    zero = jnp.int32(0)
+    buf_w = jax.lax.dynamic_update_slice(buf_w, words, (offset, zero))
+    buf_pay = jax.lax.dynamic_update_slice(buf_pay, payload, (offset,))
+    buf_pos = jax.lax.dynamic_update_slice(buf_pos, pos, (offset,))
+    return buf_w, buf_pay, buf_pos
+
+
+@partial(jax.jit, static_argnames=("w",), donate_argnums=(0, 1, 2))
+def sort_and_judge(buf_w, buf_pay, buf_pos, abundance, *, w: int):
+    """Sort records by k-mer; mark junction groups; assign local ids.
+
+    Scatter-free: all group reductions are segmented scans over the
+    sorted order (ops/segments), and ranks come from a plain cumsum.
+
+    Returns (sorted words, pos, keep_first, occ flags, ids,
+    n_groups, n_junctions, n_occurrences): ids are per-record signed
+    local junction ids (0 where not an occurrence); local id = rank
+    among junction groups in k-mer order.
+    """
+    from twopaco_tpu.ops import segments as sg
+
+    m = buf_w.shape[0]
+    cols = tuple(buf_w[:, i] for i in range(w)) + (buf_pay, buf_pos)
+    sorted_cols = jax.lax.sort(cols, num_keys=w)
+    sw = jnp.stack(sorted_cols[:w], axis=-1)
+    pay, pos = sorted_cols[w], sorted_cols[w + 1]
+
+    prev_w = jnp.concatenate([~sw[:1], sw[:-1]])
+    new_group = jnp.any(sw != prev_w, axis=-1)
+
+    in_code = pay & U32(0xFF)
+    out_code = (pay >> 8) & U32(0xFF)
+    is_rc = ((pay >> 16) & U32(1)) > 0
+    real = ((pay >> 17) & U32(1)) > 0  # sentinels form their own group
+
+    def degree(ext):
+        distinct = jnp.zeros(m, dtype=jnp.int32)
+        for c in range(4):
+            distinct = distinct + sg.seg_or(ext == c, new_group).astype(
+                jnp.int32
+            )
+        n_ext = sg.seg_sum((ext == 4).astype(jnp.int32), new_group)
+        return distinct + n_ext
+
+    size = sg.seg_sum(jnp.ones(m, jnp.int32), new_group)
+    is_bif = (degree(in_code) > 1) | (degree(out_code) > 1)
+    keep = is_bif & (size.astype(jnp.uint64) <= abundance) & real
+    keep_first = new_group & keep
+
+    # rank among kept groups: cumsum of keep_first is constant within a
+    # group after its first record, so it IS the per-record group rank
+    rank = jnp.cumsum(keep_first.astype(jnp.int32))
+    ids = jnp.where(keep, jnp.where(is_rc, -rank, rank), 0)
+    n_groups = jnp.sum(new_group & real, dtype=jnp.int64)
+    n_junc = jnp.sum(keep_first, dtype=jnp.int64)
+    n_occ = jnp.sum(keep, dtype=jnp.int64)
+    return sw, pos, keep_first, keep, ids, n_groups, n_junc, n_occ
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def compact_junction_table(sw, keep_first, *, cap: int):
+    """First cap rows after a stable partition: kept firsts keep k-mer
+    order, so rows [0:n_junc) are the sorted dictionary."""
+    m = sw.shape[0]
+    flag = (~keep_first).astype(U32)
+    idx = jnp.arange(m, dtype=U32)
+    cols = jax.lax.sort(
+        (flag, idx) + tuple(sw[:, i] for i in range(sw.shape[1])),
+        num_keys=2,
+    )
+    return jnp.stack(cols[2:], axis=-1)[:cap]
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def compact_occurrences(pos, occ, ids, *, cap: int):
+    """Occurrences sorted by position: (pos u32 (cap,), ids i32 (cap,)).
+    One 2-key sort: non-occurrences to the back, occurrences by pos."""
+    flag = (~occ).astype(U32)
+    sp_cols = jax.lax.sort(
+        (flag, pos, ids.astype(jnp.int32)), num_keys=2
+    )
+    return sp_cols[1][:cap], sp_cols[2][:cap]
+
+
+def build_junctions_sorted(
+    input_paths: Sequence[str] | None,
+    config: PipelineConfig,
+    out_path: str | None = None,
+    sequences: Sequence[tuple[int, np.ndarray]] | None = None,
+    log: Callable[[str], None] = lambda s: None,
+) -> Enumerator:
+    """Sort-join counterpart of pipeline.build_junctions (same contract)."""
+    cfg = config.pass_config()
+    wcfg = config.window_config()
+    stats = RunStats()
+    t_start = time.time()
+
+    if sequences is None:
+        sequences = [
+            (sid, codes)
+            for sid, _hdr, codes in fasta_io.read_all_records(input_paths)
+        ]
+    batches = list(windows.iter_window_batches(iter(sequences), wcfg))
+    stats.total_positions = sum(int(b.valid.sum()) for b in batches)
+    n_rows = len(batches) * cfg.B
+    n_slots = n_rows * cfg.P
+    log(
+        f"Engine = sort-join\nVertex length = {config.k}\n"
+        f"Record slots = {n_slots}\nCapacity = {cfg.w} words"
+    )
+
+    dev_batches = [
+        (jnp.asarray(b.codes), jnp.asarray(b.valid), b.row0)
+        for b in batches
+    ]
+
+    bin_pow = 16
+    if config.rounds > 1:
+        hist = np.zeros(1 << bin_pow, np.int64)
+        for codes_d, valid_d, _r0 in dev_batches:
+            hist += np.asarray(
+                kernels.histogram_vertex_hashes(
+                    codes_d, valid_d, cfg=cfg, bin_pow=bin_pow
+                )
+            )
+        intervals = _split_rounds(hist, config.rounds, bin_pow)
+        log(f"Splitting the input kmers set... {intervals}")
+    else:
+        intervals = [(0, 0xFFFFFFFF)]
+
+    round_tables: list[np.ndarray] = []
+    round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
+    for r, (low, high) in enumerate(intervals):
+        low_d, high_d = jnp.uint32(low), jnp.uint32(high)
+        log(f"Round {r}, {low}:{high}")
+        t0 = time.time()
+        buf_w = jnp.full((n_slots, cfg.w), SENTINEL_WORD, U32)
+        buf_pay = jnp.zeros(n_slots, U32)
+        buf_pos = jnp.zeros(n_slots, U32)
+        for codes_d, valid_d, row0 in dev_batches:
+            words, payload, pos = build_sort_records(
+                codes_d, valid_d, jnp.uint32(row0), low_d, high_d, cfg=cfg
+            )
+            buf_w, buf_pay, buf_pos = append_records(
+                buf_w, buf_pay, buf_pos, words, payload, pos,
+                jnp.int32(row0 * cfg.P),
+            )
+        t_build = time.time() - t0
+
+        t0 = time.time()
+        sw, pos, keep_first, keep, ids, n_groups, n_junc, n_occ = (
+            sort_and_judge(
+                buf_w, buf_pay, buf_pos, jnp.uint64(config.abundance),
+                w=cfg.w,
+            )
+        )
+        n_junc, n_occ, n_groups = int(n_junc), int(n_occ), int(n_groups)
+        t_sort = time.time() - t0
+
+        t0 = time.time()
+        table = np.asarray(
+            compact_junction_table(
+                sw, keep_first, cap=_bucket_cap(n_junc, n_slots)
+            )
+        )[:n_junc]
+        op, oi = compact_occurrences(
+            pos, keep, ids, cap=_bucket_cap(n_occ, n_slots)
+        )
+        round_occ.append(
+            (np.asarray(op)[:n_occ], np.asarray(oi)[:n_occ])
+        )
+        round_tables.append(table)
+        t_compact = time.time() - t0
+        del sw, pos, keep_first, keep, ids, buf_w, buf_pay, buf_pos
+        stats.rounds.append(
+            dict(
+                low=low,
+                high=high,
+                marks=n_occ,
+                hash_table_size=n_groups,
+                true_junctions=n_junc,
+                false_positives=0,
+                t_fill=t_build,
+                t_mark=t_sort,
+                t_verify=t_compact,
+            )
+        )
+        log(
+            f"Build\t{t_build:.1f}\nSort+judge\t{t_sort:.1f}\n"
+            f"Compact\t{t_compact:.1f}\nTrue junctions = {n_junc}\n"
+            f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
+        )
+
+    # ---- merge rounds: global dictionary + id remap --------------------
+    t0 = time.time()
+    if sum(len(t) for t in round_tables):
+        cat = np.concatenate([t for t in round_tables if len(t)])
+        keys = dna.words_to_bytes_keys(cat)
+        order = np.argsort(keys, kind="stable")
+        table = np.ascontiguousarray(cat[order])
+        global_keys = keys[order]
+    else:
+        table = np.zeros((0, cfg.w), np.uint32)
+        global_keys = np.zeros(0, dtype=f"S{4*cfg.w}")
+    stats.distinct_junctions = len(table)
+    enum = Enumerator(table, config.k, stats)
+
+    all_pos: list[np.ndarray] = []
+    all_ids: list[np.ndarray] = []
+    for rtab, (op, oi) in zip(round_tables, round_occ):
+        if len(op) == 0:
+            continue
+        if len(rtab):
+            rk = dna.words_to_bytes_keys(rtab)
+            remap = np.searchsorted(global_keys, rk).astype(np.int64)
+        else:
+            remap = np.zeros(0, np.int64)
+        sign = np.sign(oi).astype(np.int64)
+        gid = remap[np.abs(oi) - 1] + 1
+        all_pos.append(op.astype(np.uint64))
+        all_ids.append(sign * gid)
+    stats.timings["dict"] = time.time() - t0
+
+    # ---- emit ----------------------------------------------------------
+    if out_path is not None:
+        t0 = time.time()
+        if all_pos:
+            occ_pos = np.concatenate(all_pos)
+            occ_ids = np.concatenate(all_ids)
+            order = np.argsort(occ_pos, kind="stable")
+            occ_pos = occ_pos[order]
+            occ_ids = occ_ids[order]
+        else:
+            occ_pos = np.zeros(0, np.uint64)
+            occ_ids = np.zeros(0, np.int64)
+        stub_id = len(table) + STUB_ID_OFFSET
+        occurrences = 0
+        P = cfg.P
+        with junction_io.JunctionWriter(out_path) as writer:
+            for b in batches:
+                for r_i in range(cfg.B):
+                    sid = int(b.seq_id[r_i])
+                    if sid < 0:
+                        continue
+                    v = int(b.valid[r_i])
+                    p0 = int(b.pos0[r_i])
+                    n_pos = int(b.n_pos[r_i])
+                    flat0 = (b.row0 + r_i) * P
+                    lo = np.searchsorted(occ_pos, flat0)
+                    hi = np.searchsorted(occ_pos, flat0 + v)
+                    cols = (occ_pos[lo:hi] - flat0).astype(np.int64)
+                    row_ids = occ_ids[lo:hi]
+                    pre: list[tuple[int, int]] = []
+                    post: list[tuple[int, int]] = []
+                    first_stubbed = False
+                    if p0 == 1 and (len(cols) == 0 or cols[0] != 0):
+                        pre.append((0, stub_id))
+                        stub_id += 1
+                        first_stubbed = True
+                    j_last = n_pos - p0
+                    if 0 <= j_last < v and not (
+                        first_stubbed and j_last == 0
+                    ):
+                        at = np.searchsorted(cols, j_last)
+                        if at >= len(cols) or cols[at] != j_last:
+                            post.append((j_last, stub_id))
+                            stub_id += 1
+                    if pre or post or len(cols):
+                        all_cols = np.concatenate(
+                            [
+                                np.asarray([c for c, _ in pre], np.int64),
+                                cols,
+                                np.asarray([c for c, _ in post], np.int64),
+                            ]
+                        )
+                        aids = np.concatenate(
+                            [
+                                np.asarray([i for _, i in pre], np.int64),
+                                row_ids,
+                                np.asarray([i for _, i in post], np.int64),
+                            ]
+                        )
+                        writer.write_array(
+                            sid, (p0 - 1 + all_cols).astype(np.uint32), aids
+                        )
+                        occurrences += len(all_cols)
+        stats.occurrences = occurrences
+        stats.stub_ids = stub_id - len(table) - STUB_ID_OFFSET
+        stats.timings["emit"] = time.time() - t0
+        log(f"True marks count: {occurrences}")
+
+    stats.timings["total"] = time.time() - t_start
+    log(f"Distinct junctions = {enum.vertices_count}")
+    return enum
