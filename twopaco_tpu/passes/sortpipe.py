@@ -119,25 +119,52 @@ def append_records(buf_w, buf_pay, buf_pos, words, payload, pos, offset):
     return buf_w, buf_pay, buf_pos
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def compact_batch_records(words, payload, pos, *, cap: int):
+    """Keep only real (in-round) records of a batch, sentinel-padded to
+    the bucketed cap: one stable 2-key sort, no scatter.
+    -> (words (cap, w), payload (cap,), pos (cap,), count)."""
+    m = words.shape[0]
+    real = ((payload >> 17) & U32(1)) > 0
+    count = jnp.sum(real, dtype=jnp.int32)
+    flag = (~real).astype(U32)
+    idx = jnp.arange(m, dtype=U32)
+    cols = jax.lax.sort(
+        (flag, idx)
+        + tuple(words[:, i] for i in range(words.shape[1]))
+        + (payload, pos),
+        num_keys=2,
+    )
+    w = words.shape[1]
+    out_w = jnp.stack(cols[2 : 2 + w], axis=-1)[:cap]
+    out_pay, out_pos = cols[2 + w][:cap], cols[3 + w][:cap]
+    live = jnp.arange(cap) < count
+    out_w = jnp.where(live[:, None], out_w, SENTINEL_WORD)
+    out_pay = jnp.where(live, out_pay, U32(0))
+    return out_w, out_pay, out_pos, count
+
+
 @partial(jax.jit, static_argnames=("w",), donate_argnums=(0, 1, 2))
-def sort_and_judge(buf_w, buf_pay, buf_pos, abundance, *, w: int):
-    """Sort records by k-mer; mark junction groups; assign local ids.
-
-    Scatter-free: all group reductions are segmented scans over the
-    sorted order (ops/segments), and ranks come from a plain cumsum.
-
-    Returns (sorted words, pos, keep_first, occ flags, ids,
-    n_groups, n_junctions, n_occurrences): ids are per-record signed
-    local junction ids (0 where not an occurrence); local id = rank
-    among junction groups in k-mer order.
-    """
-    from twopaco_tpu.ops import segments as sg
-
-    m = buf_w.shape[0]
+def sort_records(buf_w, buf_pay, buf_pos, *, w: int):
+    """Sort records by the w k-mer words (payload carried along)."""
     cols = tuple(buf_w[:, i] for i in range(w)) + (buf_pay, buf_pos)
     sorted_cols = jax.lax.sort(cols, num_keys=w)
     sw = jnp.stack(sorted_cols[:w], axis=-1)
-    pay, pos = sorted_cols[w], sorted_cols[w + 1]
+    return sw, sorted_cols[w], sorted_cols[w + 1]
+
+
+@partial(jax.jit, static_argnames=("check_abundance",))
+def judge_records(sw, pay, abundance, *, check_abundance: bool):
+    """Mark junction groups over k-mer-sorted records; assign local ids.
+
+    Scatter-free and scan-lean: the 8 distinct-extension indicators live
+    as bits of one uint32 OR-scanned per group (popcount -> distinct
+    counts), plus one sum-scan for the two N-extension counters (and one
+    for group size when an abundance threshold is active).
+
+    Returns (keep_first, keep, ids, n_groups, n_junc, n_occ).
+    """
+    from twopaco_tpu.ops import segments as sg
 
     prev_w = jnp.concatenate([~sw[:1], sw[:-1]])
     new_group = jnp.any(sw != prev_w, axis=-1)
@@ -147,18 +174,30 @@ def sort_and_judge(buf_w, buf_pay, buf_pos, abundance, *, w: int):
     is_rc = ((pay >> 16) & U32(1)) > 0
     real = ((pay >> 17) & U32(1)) > 0  # sentinels form their own group
 
-    def degree(ext):
-        distinct = jnp.zeros(m, dtype=jnp.int32)
-        for c in range(4):
-            distinct = distinct + sg.seg_or(ext == c, new_group).astype(
-                jnp.int32
-            )
-        n_ext = sg.seg_sum((ext == 4).astype(jnp.int32), new_group)
-        return distinct + n_ext
+    in_acgt = jnp.minimum(in_code, 4)
+    out_acgt = jnp.minimum(out_code, 4)
+    ext_bits = jnp.where(in_acgt < 4, U32(1) << in_acgt, U32(0)) | jnp.where(
+        out_acgt < 4, U32(1) << (out_acgt + 8), U32(0)
+    )
+    group_bits = sg.seg_reduce_broadcast(ext_bits, new_group, jnp.bitwise_or)
 
-    size = sg.seg_sum(jnp.ones(m, jnp.int32), new_group)
-    is_bif = (degree(in_code) > 1) | (degree(out_code) > 1)
-    keep = is_bif & (size.astype(jnp.uint64) <= abundance) & real
+    def popcount4(x):
+        return (
+            (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
+        ).astype(jnp.int32)
+
+    n_counts = (in_code == 4).astype(U32) | (
+        ((out_code == 4).astype(U32)) << 16
+    )
+    n_scan = sg.seg_reduce_broadcast(n_counts, new_group, _sat_add)
+    n_in = (n_scan & U32(0xFFFF)).astype(jnp.int32)
+    n_out = (n_scan >> 16).astype(jnp.int32)
+    indeg = popcount4(group_bits & U32(0xF)) + n_in
+    outdeg = popcount4((group_bits >> 8) & U32(0xF)) + n_out
+    keep = ((indeg > 1) | (outdeg > 1)) & real
+    if check_abundance:
+        size = sg.seg_sum(jnp.ones(sw.shape[0], jnp.int32), new_group)
+        keep = keep & (size.astype(jnp.uint64) <= abundance)
     keep_first = new_group & keep
 
     # rank among kept groups: cumsum of keep_first is constant within a
@@ -168,7 +207,16 @@ def sort_and_judge(buf_w, buf_pay, buf_pos, abundance, *, w: int):
     n_groups = jnp.sum(new_group & real, dtype=jnp.int64)
     n_junc = jnp.sum(keep_first, dtype=jnp.int64)
     n_occ = jnp.sum(keep, dtype=jnp.int64)
-    return sw, pos, keep_first, keep, ids, n_groups, n_junc, n_occ
+    return keep_first, keep, ids, n_groups, n_junc, n_occ
+
+
+def _sat_add(a, b):
+    """Saturating per-halfword add on uint32 lanes (two 16-bit counters):
+    each halfword clamps at 0x7FFF so huge groups cannot overflow into
+    the neighbouring counter (we only ever test >= 2)."""
+    lo = jnp.minimum((a & U32(0xFFFF)) + (b & U32(0xFFFF)), U32(0x7FFF))
+    hi = jnp.minimum((a >> 16) + (b >> 16), U32(0x7FFF))
+    return lo | (hi << 16)
 
 
 @partial(jax.jit, static_argnames=("cap",))
@@ -228,8 +276,13 @@ def build_junctions_sorted(
         for b in batches
     ]
 
+    # auto-rounds: cap the per-round sort size (compile/memory bound) —
+    # the reference's -r memory knob generalized; we honor at least the
+    # requested count (README.md:94-101 semantics)
+    max_sort = config.sort_chunk
+    n_rounds = max(config.rounds, -(-n_slots // max_sort))
     bin_pow = 16
-    if config.rounds > 1:
+    if n_rounds > 1:
         hist = np.zeros(1 << bin_pow, np.int64)
         for codes_d, valid_d, _r0 in dev_batches:
             hist += np.asarray(
@@ -237,10 +290,14 @@ def build_junctions_sorted(
                     codes_d, valid_d, cfg=cfg, bin_pow=bin_pow
                 )
             )
-        intervals = _split_rounds(hist, config.rounds, bin_pow)
-        log(f"Splitting the input kmers set... {intervals}")
+        intervals = _split_rounds(hist, n_rounds, bin_pow)
+        log(f"Splitting the input kmers set ({n_rounds} rounds)")
     else:
         intervals = [(0, 0xFFFFFFFF)]
+    buf_slots = min(
+        n_slots,
+        int(max_sort * config.round_slack) + cfg.B * cfg.P,
+    )
 
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
@@ -248,25 +305,60 @@ def build_junctions_sorted(
         low_d, high_d = jnp.uint32(low), jnp.uint32(high)
         log(f"Round {r}, {low}:{high}")
         t0 = time.time()
-        buf_w = jnp.full((n_slots, cfg.w), SENTINEL_WORD, U32)
-        buf_pay = jnp.zeros(n_slots, U32)
-        buf_pos = jnp.zeros(n_slots, U32)
-        for codes_d, valid_d, row0 in dev_batches:
-            words, payload, pos = build_sort_records(
-                codes_d, valid_d, jnp.uint32(row0), low_d, high_d, cfg=cfg
-            )
-            buf_w, buf_pay, buf_pos = append_records(
-                buf_w, buf_pay, buf_pos, words, payload, pos,
-                jnp.int32(row0 * cfg.P),
-            )
+        buf_w = jnp.full((buf_slots, cfg.w), SENTINEL_WORD, U32)
+        buf_pay = jnp.zeros(buf_slots, U32)
+        buf_pos = jnp.zeros(buf_slots, U32)
+        offset = 0
+        if len(intervals) == 1 and buf_slots == n_slots:
+            # single round: append whole batches, no compaction needed
+            for codes_d, valid_d, row0 in dev_batches:
+                words, payload, pos = build_sort_records(
+                    codes_d, valid_d, jnp.uint32(row0), low_d, high_d,
+                    cfg=cfg,
+                )
+                buf_w, buf_pay, buf_pos = append_records(
+                    buf_w, buf_pay, buf_pos, words, payload, pos,
+                    jnp.int32(row0 * cfg.P),
+                )
+        else:
+            pend = []
+            for codes_d, valid_d, row0 in dev_batches:
+                words, payload, pos = build_sort_records(
+                    codes_d, valid_d, jnp.uint32(row0), low_d, high_d,
+                    cfg=cfg,
+                )
+                cw, cp, cpos, cnt = compact_batch_records(
+                    words, payload, pos, cap=cfg.B * cfg.P
+                )
+                pend.append((cw, cp, cpos, cnt))
+            for cw, cp, cpos, cnt in pend:
+                cnt = int(cnt)
+                if offset + cnt > buf_slots:
+                    raise RuntimeError(
+                        "round record buffer overflow — increase rounds "
+                        "(-r) or PipelineConfig.round_slack"
+                    )
+                cap = _bucket_cap(cnt, cfg.B * cfg.P)
+                end_cap = min(offset + cap, buf_slots)
+                buf_w, buf_pay, buf_pos = append_records(
+                    buf_w,
+                    buf_pay,
+                    buf_pos,
+                    cw[: end_cap - offset],
+                    cp[: end_cap - offset],
+                    cpos[: end_cap - offset],
+                    jnp.int32(offset),
+                )
+                offset += cnt
         t_build = time.time() - t0
 
         t0 = time.time()
-        sw, pos, keep_first, keep, ids, n_groups, n_junc, n_occ = (
-            sort_and_judge(
-                buf_w, buf_pay, buf_pos, jnp.uint64(config.abundance),
-                w=cfg.w,
-            )
+        sw, pay, pos = sort_records(buf_w, buf_pay, buf_pos, w=cfg.w)
+        keep_first, keep, ids, n_groups, n_junc, n_occ = judge_records(
+            sw,
+            pay,
+            jnp.uint64(config.abundance),
+            check_abundance=config.abundance < (1 << 64) - 1,
         )
         n_junc, n_occ, n_groups = int(n_junc), int(n_occ), int(n_groups)
         t_sort = time.time() - t0
@@ -285,7 +377,7 @@ def build_junctions_sorted(
         )
         round_tables.append(table)
         t_compact = time.time() - t0
-        del sw, pos, keep_first, keep, ids, buf_w, buf_pay, buf_pos
+        del sw, pay, pos, keep_first, keep, ids, buf_w, buf_pay, buf_pos
         stats.rounds.append(
             dict(
                 low=low,

@@ -41,11 +41,14 @@ def run_tests(
         sequences = [(i, dna.encode(s)) for i, s in enumerate(seqs)]
         for k in k_values:
             junc, want = oracle.find_junctions_naively(seqs, k)
-            for rounds in rounds_values:
+            for rounds, engine in [
+                (r, e) for r in rounds_values for e in ("sort", "bloom")
+            ]:
                 cfg = PipelineConfig(
                     k=k,
                     filter_bits=filter_bits,
                     rounds=rounds,
+                    engine=engine,
                     positions_per_row=512,
                     rows_per_batch=8,
                 )
@@ -61,7 +64,7 @@ def run_tests(
                         bad = np.nonzero(got[i] != want[i])[0]
                         log(
                             f"ERROR at chr {i} pos {bad[:5].tolist()} "
-                            f"(k={k} rounds={rounds})"
+                            f"(k={k} rounds={rounds} engine={engine})"
                         )
                         log(f"Test # {t} FAILED")
                         return False
