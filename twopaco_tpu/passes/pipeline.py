@@ -51,7 +51,7 @@ class PipelineConfig:
     positions_per_row: int = 2048  # must be a multiple of 8 (packed masks)
     rows_per_batch: int = 256
     engine: str = "sort"  # 'sort' (sort-join, default) | 'bloom'
-    sort_chunk: int = 1 << 23  # max records per round sort (sort engine)
+    sort_chunk: int = 1 << 22  # max records per round sort (sort engine)
     round_slack: float = 1.25  # round buffer slack over even split
 
     def resolve_layout(self) -> str:

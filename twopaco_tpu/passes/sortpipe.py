@@ -68,7 +68,8 @@ def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
     non-definite / out-of-round rows become all-ones sentinels that sort
     to the end.
     """
-    k, P, B = cfg.k, cfg.P, cfg.B
+    k, P = cfg.k, cfg.P
+    B = codes.shape[0]  # may be cfg.B / n_devices under shard_map
     words_all, rc_all, def_all = kernels._strand_arrays(codes, cfg)
     V = words_all[:, 1 : P + 1]
     rcV = rc_all[:, 1 : P + 1]
@@ -331,7 +332,11 @@ def build_junctions_sorted(
                     words, payload, pos, cap=cfg.B * cfg.P
                 )
                 pend.append((cw, cp, cpos, cnt))
-            for cw, cp, cpos, cnt in pend:
+            # one fetch for all counts instead of a sync per batch
+            all_counts = np.asarray(
+                jnp.stack([cnt for *_x, cnt in pend])
+            )
+            for (cw, cp, cpos, _c), cnt in zip(pend, all_counts):
                 cnt = int(cnt)
                 if offset + cnt > buf_slots:
                     raise RuntimeError(
