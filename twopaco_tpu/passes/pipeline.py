@@ -158,6 +158,54 @@ def _bucket_cap(count: int, hard_max: int) -> int:
     return min(_next_pow2(max(count, 1)), hard_max)
 
 
+def emit_row(
+    writer: junction_io.JunctionWriter,
+    sid: int,
+    p0: int,
+    v: int,
+    n_pos: int,
+    cols: np.ndarray,
+    row_ids: np.ndarray,
+    stub_id: int,
+) -> tuple[int, int]:
+    """Write one window row's occurrences + endpoint stubs, in position
+    order (EdgeConstructionWorker semantics, vertexenumerator.h:927-958:
+    stubs get fresh sequential ids at unresolved first/last positions of
+    a sequence). cols: ascending in-row offsets of resolved junctions.
+    Returns (next stub_id, occurrences written)."""
+    pre: list[tuple[int, int]] = []
+    post: list[tuple[int, int]] = []
+    first_stubbed = False
+    if p0 == 1 and (len(cols) == 0 or cols[0] != 0):
+        pre.append((0, stub_id))
+        stub_id += 1
+        first_stubbed = True
+    j_last = n_pos - p0
+    if 0 <= j_last < v and not (first_stubbed and j_last == 0):
+        at = np.searchsorted(cols, j_last)
+        if at >= len(cols) or cols[at] != j_last:
+            post.append((j_last, stub_id))
+            stub_id += 1
+    if not (pre or post or len(cols)):
+        return stub_id, 0
+    all_cols = np.concatenate(
+        [
+            np.asarray([c for c, _ in pre], np.int64),
+            cols,
+            np.asarray([c for c, _ in post], np.int64),
+        ]
+    )
+    all_ids = np.concatenate(
+        [
+            np.asarray([i for _, i in pre], np.int64),
+            row_ids,
+            np.asarray([i for _, i in post], np.int64),
+        ]
+    )
+    writer.write_array(sid, (p0 - 1 + all_cols).astype(np.uint32), all_ids)
+    return stub_id, len(all_cols)
+
+
 def build_junctions(
     input_paths: Sequence[str] | None,
     config: PipelineConfig,
@@ -376,48 +424,19 @@ def build_junctions(
                     if sid < 0:
                         continue
                     v = int(b.valid[r_i])
-                    p0 = int(b.pos0[r_i])
-                    n_pos = int(b.n_pos[r_i])
                     lo = np.searchsorted(pos_f, r_i * P)
                     hi = np.searchsorted(pos_f, r_i * P + v)
-                    cols = pos_f[lo:hi] - r_i * P
-                    row_ids = ids_f[lo:hi]
-                    # endpoint stubs (EdgeConstructionWorker,
-                    # vertexenumerator.h:942-948): fresh sequential ids
-                    # for unresolved first/last positions of a sequence
-                    pre: list[tuple[int, int]] = []
-                    post: list[tuple[int, int]] = []
-                    first_stubbed = False
-                    if p0 == 1 and (len(cols) == 0 or cols[0] != 0):
-                        pre.append((0, stub_id))
-                        stub_id += 1
-                        first_stubbed = True
-                    j_last = n_pos - p0
-                    if 0 <= j_last < v and not (
-                        first_stubbed and j_last == 0
-                    ):
-                        at = np.searchsorted(cols, j_last)
-                        if at >= len(cols) or cols[at] != j_last:
-                            post.append((j_last, stub_id))
-                            stub_id += 1
-                    if pre or post or len(cols):
-                        all_cols = np.concatenate(
-                            [
-                                np.asarray([c for c, _ in pre], np.int64),
-                                cols,
-                                np.asarray([c for c, _ in post], np.int64),
-                            ]
-                        )
-                        all_ids = np.concatenate(
-                            [
-                                np.asarray([i for _, i in pre], np.int64),
-                                row_ids,
-                                np.asarray([i for _, i in post], np.int64),
-                            ]
-                        )
-                        positions = (p0 - 1 + all_cols).astype(np.uint32)
-                        writer.write_array(sid, positions, all_ids)
-                        occurrences += len(all_cols)
+                    stub_id, n = emit_row(
+                        writer,
+                        sid,
+                        int(b.pos0[r_i]),
+                        v,
+                        int(b.n_pos[r_i]),
+                        (pos_f[lo:hi] - r_i * P).astype(np.int64),
+                        ids_f[lo:hi],
+                        stub_id,
+                    )
+                    occurrences += n
         stats.occurrences = occurrences
         stats.stub_ids = stub_id - len(table) - STUB_ID_OFFSET
         stats.timings["emit"] = time.time() - t0

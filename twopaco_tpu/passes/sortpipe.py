@@ -53,6 +53,7 @@ from twopaco_tpu.passes.pipeline import (
     STUB_ID_OFFSET,
     _bucket_cap,
     _split_rounds,
+    emit_row as pipeline_emit_row,
 )
 
 U32 = jnp.uint32
@@ -454,47 +455,20 @@ def build_junctions_sorted(
                     if sid < 0:
                         continue
                     v = int(b.valid[r_i])
-                    p0 = int(b.pos0[r_i])
-                    n_pos = int(b.n_pos[r_i])
                     flat0 = (b.row0 + r_i) * P
                     lo = np.searchsorted(occ_pos, flat0)
                     hi = np.searchsorted(occ_pos, flat0 + v)
-                    cols = (occ_pos[lo:hi] - flat0).astype(np.int64)
-                    row_ids = occ_ids[lo:hi]
-                    pre: list[tuple[int, int]] = []
-                    post: list[tuple[int, int]] = []
-                    first_stubbed = False
-                    if p0 == 1 and (len(cols) == 0 or cols[0] != 0):
-                        pre.append((0, stub_id))
-                        stub_id += 1
-                        first_stubbed = True
-                    j_last = n_pos - p0
-                    if 0 <= j_last < v and not (
-                        first_stubbed and j_last == 0
-                    ):
-                        at = np.searchsorted(cols, j_last)
-                        if at >= len(cols) or cols[at] != j_last:
-                            post.append((j_last, stub_id))
-                            stub_id += 1
-                    if pre or post or len(cols):
-                        all_cols = np.concatenate(
-                            [
-                                np.asarray([c for c, _ in pre], np.int64),
-                                cols,
-                                np.asarray([c for c, _ in post], np.int64),
-                            ]
-                        )
-                        aids = np.concatenate(
-                            [
-                                np.asarray([i for _, i in pre], np.int64),
-                                row_ids,
-                                np.asarray([i for _, i in post], np.int64),
-                            ]
-                        )
-                        writer.write_array(
-                            sid, (p0 - 1 + all_cols).astype(np.uint32), aids
-                        )
-                        occurrences += len(all_cols)
+                    stub_id, n = pipeline_emit_row(
+                        writer,
+                        sid,
+                        int(b.pos0[r_i]),
+                        v,
+                        int(b.n_pos[r_i]),
+                        (occ_pos[lo:hi] - flat0).astype(np.int64),
+                        occ_ids[lo:hi],
+                        stub_id,
+                    )
+                    occurrences += n
         stats.occurrences = occurrences
         stats.stub_ids = stub_id - len(table) - STUB_ID_OFFSET
         stats.timings["emit"] = time.time() - t0
