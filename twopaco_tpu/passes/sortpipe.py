@@ -296,10 +296,17 @@ def build_junctions_sorted(
         log(f"Splitting the input kmers set ({n_rounds} rounds)")
     else:
         intervals = [(0, 0xFFFFFFFF)]
-    buf_slots = min(
-        n_slots,
-        int(max_sort * config.round_slack) + cfg.B * cfg.P,
-    )
+    # single round: direct whole-batch appends fill exactly n_slots.
+    # multi-round: compacted appends always write a full B*P block (one
+    # compiled program regardless of batch record count), so the buffer
+    # carries +B*P headroom to keep the last append unclamped.
+    if len(intervals) == 1:
+        buf_slots = n_slots
+    else:
+        buf_slots = (
+            min(n_slots, int(max_sort * config.round_slack) + cfg.B * cfg.P)
+            + cfg.B * cfg.P
+        )
 
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
@@ -339,20 +346,16 @@ def build_junctions_sorted(
             )
             for (cw, cp, cpos, _c), cnt in zip(pend, all_counts):
                 cnt = int(cnt)
-                if offset + cnt > buf_slots:
+                if offset + cnt > buf_slots - cfg.B * cfg.P:
                     raise RuntimeError(
                         "round record buffer overflow — increase rounds "
                         "(-r) or PipelineConfig.round_slack"
                     )
-                cap = _bucket_cap(cnt, cfg.B * cfg.P)
-                end_cap = min(offset + cap, buf_slots)
+                # always append the full fixed-size block (ONE compiled
+                # append program); the sentinel tail beyond cnt is
+                # overwritten by the next append or stays sentinel
                 buf_w, buf_pay, buf_pos = append_records(
-                    buf_w,
-                    buf_pay,
-                    buf_pos,
-                    cw[: end_cap - offset],
-                    cp[: end_cap - offset],
-                    cpos[: end_cap - offset],
+                    buf_w, buf_pay, buf_pos, cw, cp, cpos,
                     jnp.int32(offset),
                 )
                 offset += cnt
