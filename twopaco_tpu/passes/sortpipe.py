@@ -268,6 +268,11 @@ def build_junctions_sorted(
     stats.total_positions = sum(int(b.valid.sum()) for b in batches)
     n_rows = len(batches) * cfg.B
     n_slots = n_rows * cfg.P
+    if n_slots >= 1 << 32:
+        raise ValueError(
+            "sort engine flat positions are uint32: inputs beyond ~4.2 "
+            "Gbases need the bloom engine or a sharded run"
+        )
     log(
         f"Engine = sort-join\nVertex length = {config.k}\n"
         f"Record slots = {n_slots}\nCapacity = {cfg.w} words"
