@@ -221,29 +221,193 @@ def _sat_add(a, b):
     return lo | (hi << 16)
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def compact_junction_table(sw, keep_first, *, cap: int):
-    """First cap rows after a stable partition: kept firsts keep k-mer
-    order, so rows [0:n_junc) are the sorted dictionary."""
+# --- chunked judge + compaction: every compiled program is bounded to
+# JUDGE_CHUNK rows, so record counts scale without ballooning the
+# (minutes-per-program) remote XLA compiles. Semantics identical to
+# judge_records (tested byte-identical).
+
+JUDGE_CHUNK = 1 << 20
+
+
+@jax.jit
+def _judge_prep_chunk(sw, pay, prev_row):
+    """ng + scan inputs for one chunk; prev_row = last words of the
+    previous chunk (all-zeros sentinel impossible: words are canonical
+    or all-ones)."""
+    prev_w = jnp.concatenate([prev_row[None, :], sw[:-1]])
+    ng = jnp.any(sw != prev_w, axis=-1)
+    in_code = pay & U32(0xFF)
+    out_code = (pay >> 8) & U32(0xFF)
+    ext_bits = jnp.where(in_code < 4, U32(1) << in_code, U32(0)) | jnp.where(
+        out_code < 4, U32(1) << (out_code + 8), U32(0)
+    )
+    n_counts = (in_code == 4).astype(U32) | (
+        (out_code == 4).astype(U32) << 16
+    )
+    ones = jnp.ones(sw.shape[0], U32)
+    return ng, ext_bits, n_counts, ones, sw[-1]
+
+
+@partial(jax.jit, static_argnames=("check_abundance",))
+def _judge_final_chunk(
+    pay, ng, bits, counts, size, abundance, rank_carry, totals,
+    *, check_abundance: bool,
+):
+    """keep/ids for one chunk + running rank carry and stat totals."""
+    is_rc = ((pay >> 16) & U32(1)) > 0
+    real = ((pay >> 17) & U32(1)) > 0
+
+    def popcount4(x):
+        return (
+            (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
+        ).astype(jnp.int32)
+
+    n_in = (counts & U32(0xFFFF)).astype(jnp.int32)
+    n_out = (counts >> 16).astype(jnp.int32)
+    indeg = popcount4(bits & U32(0xF)) + n_in
+    outdeg = popcount4((bits >> 8) & U32(0xF)) + n_out
+    keep = ((indeg > 1) | (outdeg > 1)) & real
+    if check_abundance:
+        keep = keep & (size.astype(jnp.uint64) <= abundance)
+    keep_first = ng & keep
+    rank = jnp.cumsum(keep_first.astype(jnp.int32)) + rank_carry
+    ids = jnp.where(keep, jnp.where(is_rc, -rank, rank), 0)
+    t_groups, t_junc, t_occ = totals
+    totals = (
+        t_groups + jnp.sum(ng & real, dtype=jnp.int64),
+        t_junc + jnp.sum(keep_first, dtype=jnp.int64),
+        t_occ + jnp.sum(keep, dtype=jnp.int64),
+    )
+    return keep, keep_first, ids, rank[-1], totals
+
+
+def judge_records_chunked(sw, pay, abundance, check_abundance: bool):
+    """Chunked equivalent of judge_records for large sorted arrays."""
+    from twopaco_tpu.ops import segments as sg
+
     m = sw.shape[0]
-    flag = (~keep_first).astype(U32)
-    idx = jnp.arange(m, dtype=U32)
+    chunk = min(JUDGE_CHUNK, m)
+    assert m % chunk == 0, "buffer must be a multiple of JUDGE_CHUNK"
+    n_chunks = m // chunk
+    sl = lambda a, c: a[c * chunk : (c + 1) * chunk]
+
+    ngs, prefs = [], []
+    prev_row = ~sw[0]  # differs from row 0 -> ng[0] True
+    carries = (U32(0), U32(0), U32(0))
+    for c in range(n_chunks):
+        ng, bits, counts, ones, prev_row = _judge_prep_chunk(
+            sl(sw, c), sl(pay, c), prev_row
+        )
+        p, carries = sg._fwd_chunk(
+            (bits, counts, ones), ng, carries,
+            ops=("or", "satadd_u16x2", "add"),
+        )
+        ngs.append(ng)
+        prefs.append(p)
+
+    finals = [None] * n_chunks
+    next_carries = tuple(p[-1] for p in prefs[-1])
+    next_cont = jnp.asarray(False)
+    for c in range(n_chunks - 1, -1, -1):
+        fin, carry_prev, next_cont_c = sg._bwd_chunk(
+            prefs[c], ngs[c], next_carries, next_cont,
+            ops=("or", "satadd_u16x2", "add"),
+        )
+        finals[c] = fin
+        next_carries = carry_prev
+        next_cont = next_cont_c
+
+    keeps, keep_firsts, ids_parts = [], [], []
+    rank_carry = jnp.int32(0)
+    totals = (jnp.int64(0), jnp.int64(0), jnp.int64(0))
+    for c in range(n_chunks):
+        bits, counts, size = finals[c]
+        keep, keep_first, ids, rank_carry, totals = _judge_final_chunk(
+            sl(pay, c), ngs[c], bits, counts, size, abundance,
+            rank_carry, totals, check_abundance=check_abundance,
+        )
+        keeps.append(keep)
+        keep_firsts.append(keep_first)
+        ids_parts.append(ids)
+    keep = jnp.concatenate(keeps)
+    keep_first = jnp.concatenate(keep_firsts)
+    ids = jnp.concatenate(ids_parts)
+    n_groups, n_junc, n_occ = totals
+    return keep_first, keep, ids, n_groups, n_junc, n_occ
+
+
+@jax.jit
+def _compact_chunk2(flag, a, b):
+    """Stable partition of one chunk: flagged rows first (2-key sort)."""
+    m = flag.shape[0]
     cols = jax.lax.sort(
-        (flag, idx) + tuple(sw[:, i] for i in range(sw.shape[1])),
+        ((~flag).astype(U32), jnp.arange(m, dtype=U32), a, b), num_keys=2
+    )
+    return cols[2], cols[3], jnp.sum(flag, dtype=jnp.int32)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _append2(buf_a, buf_b, a, b, offset):
+    buf_a = jax.lax.dynamic_update_slice(buf_a, a, (offset,))
+    buf_b = jax.lax.dynamic_update_slice(buf_b, b, (offset,))
+    return buf_a, buf_b
+
+
+def compact_flagged_chunked(flag, col_a, col_b, total: int):
+    """Compact two parallel columns by a flag, preserving order, with
+    bounded-size programs. Returns host arrays (a (total,), b (total,))."""
+    m = flag.shape[0]
+    chunk = min(JUDGE_CHUNK, m)
+    assert m % chunk == 0
+    n_chunks = m // chunk
+    pend = []
+    for c in range(n_chunks):
+        s = slice(c * chunk, (c + 1) * chunk)
+        pend.append(_compact_chunk2(flag[s], col_a[s], col_b[s]))
+    counts = np.asarray(jnp.stack([p[2] for p in pend]))
+    buf_a = jnp.zeros(total + chunk, col_a.dtype)
+    buf_b = jnp.zeros(total + chunk, col_b.dtype)
+    offset = 0
+    for (a, b, _c), cnt in zip(pend, counts):
+        buf_a, buf_b = _append2(buf_a, buf_b, a, b, jnp.int32(offset))
+        offset += int(cnt)
+    assert offset == total, (offset, total)
+    return np.asarray(buf_a)[:total], np.asarray(buf_b)[:total]
+
+
+@jax.jit
+def _compact_chunk_words(flag, words):
+    m, w = flag.shape[0], words.shape[1]
+    cols = jax.lax.sort(
+        ((~flag).astype(U32), jnp.arange(m, dtype=U32))
+        + tuple(words[:, i] for i in range(w)),
         num_keys=2,
     )
-    return jnp.stack(cols[2:], axis=-1)[:cap]
+    return jnp.stack(cols[2:], axis=-1), jnp.sum(flag, dtype=jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def compact_occurrences(pos, occ, ids, *, cap: int):
-    """Occurrences sorted by position: (pos u32 (cap,), ids i32 (cap,)).
-    One 2-key sort: non-occurrences to the back, occurrences by pos."""
-    flag = (~occ).astype(U32)
-    sp_cols = jax.lax.sort(
-        (flag, pos, ids.astype(jnp.int32)), num_keys=2
-    )
-    return sp_cols[1][:cap], sp_cols[2][:cap]
+@partial(jax.jit, donate_argnums=(0,))
+def _append_words(buf, wchunk, offset):
+    return jax.lax.dynamic_update_slice(buf, wchunk, (offset, jnp.int32(0)))
+
+
+def compact_words_chunked(flag, words, total: int) -> np.ndarray:
+    """Compact word rows by a flag, preserving order; host (total, w)."""
+    m = flag.shape[0]
+    chunk = min(JUDGE_CHUNK, m)
+    assert m % chunk == 0
+    pend = []
+    for c in range(m // chunk):
+        s = slice(c * chunk, (c + 1) * chunk)
+        pend.append(_compact_chunk_words(flag[s], words[s]))
+    counts = np.asarray(jnp.stack([p[1] for p in pend]))
+    buf = jnp.zeros((total + chunk, words.shape[1]), words.dtype)
+    offset = 0
+    for (wc, _c), cnt in zip(pend, counts):
+        buf = _append_words(buf, wc, jnp.int32(offset))
+        offset += int(cnt)
+    assert offset == total, (offset, total)
+    return np.asarray(buf)[:total]
 
 
 def build_junctions_sorted(
@@ -304,7 +468,9 @@ def build_junctions_sorted(
     # single round: direct whole-batch appends fill exactly n_slots.
     # multi-round: compacted appends always write a full B*P block (one
     # compiled program regardless of batch record count), so the buffer
-    # carries +B*P headroom to keep the last append unclamped.
+    # carries +B*P headroom to keep the last append unclamped. Either
+    # way the buffer pads up to a JUDGE_CHUNK multiple (sentinels) so
+    # the chunked judge/compaction programs stay fixed-size.
     if len(intervals) == 1:
         buf_slots = n_slots
     else:
@@ -312,6 +478,8 @@ def build_junctions_sorted(
             min(n_slots, int(max_sort * config.round_slack) + cfg.B * cfg.P)
             + cfg.B * cfg.P
         )
+    if buf_slots > JUDGE_CHUNK:
+        buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
 
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
@@ -368,27 +536,24 @@ def build_junctions_sorted(
 
         t0 = time.time()
         sw, pay, pos = sort_records(buf_w, buf_pay, buf_pos, w=cfg.w)
-        keep_first, keep, ids, n_groups, n_junc, n_occ = judge_records(
-            sw,
-            pay,
-            jnp.uint64(config.abundance),
-            check_abundance=config.abundance < (1 << 64) - 1,
+        keep_first, keep, ids, n_groups, n_junc, n_occ = (
+            judge_records_chunked(
+                sw,
+                pay,
+                jnp.uint64(config.abundance),
+                check_abundance=config.abundance < (1 << 64) - 1,
+            )
         )
         n_junc, n_occ, n_groups = int(n_junc), int(n_occ), int(n_groups)
         t_sort = time.time() - t0
 
         t0 = time.time()
-        table = np.asarray(
-            compact_junction_table(
-                sw, keep_first, cap=_bucket_cap(n_junc, n_slots)
-            )
-        )[:n_junc]
-        op, oi = compact_occurrences(
-            pos, keep, ids, cap=_bucket_cap(n_occ, n_slots)
+        table = compact_words_chunked(keep_first, sw, n_junc)
+        op, oi = compact_flagged_chunked(
+            keep, pos, ids.astype(jnp.int32), n_occ
         )
-        round_occ.append(
-            (np.asarray(op)[:n_occ], np.asarray(oi)[:n_occ])
-        )
+        order = np.argsort(op, kind="stable")  # occurrences by position
+        round_occ.append((op[order], oi[order]))
         round_tables.append(table)
         t_compact = time.time() - t0
         del sw, pay, pos, keep_first, keep, ids, buf_w, buf_pay, buf_pos
