@@ -230,10 +230,12 @@ JUDGE_CHUNK = 1 << 20
 
 
 @jax.jit
-def _judge_prep_chunk(sw, pay, prev_row):
-    """ng + scan inputs for one chunk; prev_row = last words of the
-    previous chunk (all-zeros sentinel impossible: words are canonical
-    or all-ones)."""
+def _judge_fwd_chunk(sw, pay, prev_row, carries):
+    """One forward judge chunk: group boundaries + segmented prefix
+    scans (extension bitmask OR, N-counter saturating add, group size).
+    prev_row = last words of the previous chunk."""
+    from twopaco_tpu.ops import segments as sg
+
     prev_w = jnp.concatenate([prev_row[None, :], sw[:-1]])
     ng = jnp.any(sw != prev_w, axis=-1)
     in_code = pay & U32(0xFF)
@@ -245,7 +247,11 @@ def _judge_prep_chunk(sw, pay, prev_row):
         (out_code == 4).astype(U32) << 16
     )
     ones = jnp.ones(sw.shape[0], U32)
-    return ng, ext_bits, n_counts, ones, sw[-1]
+    p, carries_out = sg._fwd_chunk(
+        (ext_bits, n_counts, ones), ng, carries,
+        ops=("or", "satadd_u16x2", "add"),
+    )
+    return ng, sw[-1], p, carries_out
 
 
 @partial(jax.jit, static_argnames=("check_abundance",))
@@ -295,12 +301,8 @@ def judge_records_chunked(sw, pay, abundance, check_abundance: bool):
     prev_row = ~sw[0]  # differs from row 0 -> ng[0] True
     carries = (U32(0), U32(0), U32(0))
     for c in range(n_chunks):
-        ng, bits, counts, ones, prev_row = _judge_prep_chunk(
-            sl(sw, c), sl(pay, c), prev_row
-        )
-        p, carries = sg._fwd_chunk(
-            (bits, counts, ones), ng, carries,
-            ops=("or", "satadd_u16x2", "add"),
+        ng, prev_row, p, carries = _judge_fwd_chunk(
+            sl(sw, c), sl(pay, c), prev_row, carries
         )
         ngs.append(ng)
         prefs.append(p)
@@ -449,9 +451,20 @@ def build_junctions_sorted(
 
     # auto-rounds: cap the per-round sort size (compile/memory bound) —
     # the reference's -r memory knob generalized; we honor at least the
-    # requested count (README.md:94-101 semantics)
+    # requested count (README.md:94-101 semantics). The buffer size is
+    # derived from sort_chunk and padded; the round count then uses the
+    # buffer's REAL capacity (buffer minus append headroom, derated by
+    # round_slack for hash-mass imbalance) so padding isn't wasted.
     max_sort = config.sort_chunk
-    n_rounds = max(config.rounds, -(-n_slots // max_sort))
+    bp = cfg.B * cfg.P
+    raw_buf = min(n_slots, int(max_sort * config.round_slack) + bp) + bp
+    padded_buf = (
+        -(-raw_buf // JUDGE_CHUNK) * JUDGE_CHUNK
+        if raw_buf > JUDGE_CHUNK
+        else raw_buf
+    )
+    capacity = max(1, int((padded_buf - bp) / config.round_slack))
+    n_rounds = max(config.rounds, -(-n_slots // capacity))
     bin_pow = 16
     if n_rounds > 1:
         hist = np.zeros(1 << bin_pow, np.int64)
@@ -473,13 +486,10 @@ def build_junctions_sorted(
     # the chunked judge/compaction programs stay fixed-size.
     if len(intervals) == 1:
         buf_slots = n_slots
+        if buf_slots > JUDGE_CHUNK:
+            buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
     else:
-        buf_slots = (
-            min(n_slots, int(max_sort * config.round_slack) + cfg.B * cfg.P)
-            + cfg.B * cfg.P
-        )
-    if buf_slots > JUDGE_CHUNK:
-        buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
+        buf_slots = padded_buf
 
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
@@ -602,7 +612,9 @@ def build_junctions_sorted(
             remap = np.zeros(0, np.int64)
         sign = np.sign(oi).astype(np.int64)
         gid = remap[np.abs(oi) - 1] + 1
-        all_pos.append(op.astype(np.uint64))
+        # int64 positions: np.searchsorted with a python-int key against
+        # a uint64 array silently falls off the fast path (O(n) per call)
+        all_pos.append(op.astype(np.int64))
         all_ids.append(sign * gid)
     stats.timings["dict"] = time.time() - t0
 
@@ -616,7 +628,7 @@ def build_junctions_sorted(
             occ_pos = occ_pos[order]
             occ_ids = occ_ids[order]
         else:
-            occ_pos = np.zeros(0, np.uint64)
+            occ_pos = np.zeros(0, np.int64)
             occ_ids = np.zeros(0, np.int64)
         stub_id = len(table) + STUB_ID_OFFSET
         occurrences = 0
