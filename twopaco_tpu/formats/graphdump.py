@@ -80,24 +80,51 @@ class _SegmentNamer:
         return seg
 
 
+_CHUNK = 1 << 18  # rows per buffered write (numpy-scalar formatting and
+# per-line write() syscalls dominate at Mbase scale otherwise)
+
+
 def generate_seq(in_path: str, out: TextIO) -> None:
     """One line 'chr pos id' per occurrence (graphdump.cpp:160-168)."""
     c, pos, ids = junction_io.read_junctions(in_path)
-    for cc, pp, ii in zip(c, pos, ids):
-        out.write(f"{cc} {pp} {ii}\n")
+    n = len(c)
+    for s in range(0, n, _CHUNK):
+        e = min(s + _CHUNK, n)
+        rows = zip(
+            c[s:e].tolist(), pos[s:e].tolist(), ids[s:e].tolist()
+        )
+        out.write("".join(f"{a} {b} {i}\n" for a, b, i in rows))
 
 
 def generate_group(in_path: str, out: TextIO) -> None:
     """Occurrences grouped by junction id; classes ordered by their first
     (chr, pos); line = 'chr pos; ' per member (graphdump.cpp:120-158)."""
+    import numpy as np
+
     c, pos, ids = junction_io.read_junctions(in_path)
-    groups: dict[int, list[tuple[int, int]]] = {}
-    for cc, pp, ii in zip(c, pos, ids):
-        groups.setdefault(int(ii), []).append((int(cc), int(pp)))
-    classes = [sorted(v) for v in groups.values()]
-    classes.sort(key=lambda g: g[0])
-    for g in classes:
-        out.write("".join(f"{cc} {pp}; " for cc, pp in g) + "\n")
+    order = np.lexsort((pos, c, ids))
+    c, pos, ids = c[order], pos[order], ids[order]
+    n = len(ids)
+    starts = np.flatnonzero(
+        np.concatenate([[True], ids[1:] != ids[:-1]])
+    )
+    bounds = np.append(starts, n)
+    cl, pl = c.tolist(), pos.tolist()
+    classes = []
+    for gi in range(len(starts)):
+        s, e = bounds[gi], bounds[gi + 1]
+        classes.append(
+            "".join(f"{cl[j]} {pl[j]}; " for j in range(s, e)) + "\n"
+        )
+    # classes ordered by their first (chr, pos)
+    first = np.lexsort((pos[starts], c[starts]))
+    buf = []
+    for j in first.tolist():
+        buf.append(classes[j])
+        if len(buf) >= 4096:
+            out.write("".join(buf))
+            buf.clear()
+    out.write("".join(buf))
 
 
 def generate_dot(in_path: str, out: TextIO) -> None:
@@ -105,19 +132,23 @@ def generate_dot(in_path: str, out: TextIO) -> None:
     junctions (graphdump.cpp:585-606)."""
     c, pos, ids = junction_io.read_junctions(in_path)
     out.write("digraph G\n{\n\trankdir = LR\n")
+    cl, pl, il = c.tolist(), pos.tolist(), ids.tolist()
+    buf = []
     prev = None
-    for cc, pp, ii in zip(c, pos, ids):
+    for cc, pp, ii in zip(cl, pl, il):
         if prev is not None and prev[0] == cc:
             pc, ppos, pid = prev
-            out.write(
+            buf.append(
                 f"\t{pid} -> {ii}"
                 f'[color="blue", label="chr={pc} pos={ppos}"]\n'
-            )
-            out.write(
                 f"\t{-ii} -> {-pid}"
                 f'[color="red", label="chr={pc} pos={ppos}"]\n'
             )
-        prev = (int(cc), int(pp), int(ii))
+            if len(buf) >= 4096:
+                out.write("".join(buf))
+                buf.clear()
+        prev = (cc, pp, ii)
+    out.write("".join(buf))
     out.write("}\n")
 
 
