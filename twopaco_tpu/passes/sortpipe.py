@@ -226,7 +226,7 @@ def _sat_add(a, b):
 # (minutes-per-program) remote XLA compiles. Semantics identical to
 # judge_records (tested byte-identical).
 
-JUDGE_CHUNK = 1 << 21
+JUDGE_CHUNK = 1 << 20
 
 
 @jax.jit
