@@ -252,9 +252,23 @@ def _iter_segments(in_path: str, genomes: list[str], k: int):
     c, pos, ids = junction_io.read_junctions(in_path)
     if len(c) == 0:
         return
-    seq_id = 0
-    chr_text = next(chr_iter)
-    yield "chr", (0, chr_text)
+    # Sequences shorter than k emit no junction records, so chromosome
+    # ids in the binary may skip values; advance the text reader in
+    # lockstep. (The reference graphdump instead throws 'The input is
+    # corrupted' on such input, graphdump.cpp:468 — deliberate fix.)
+    seq_id = -1
+    chr_text = None
+
+    def advance_to(target: int):
+        nonlocal seq_id, chr_text
+        if target < seq_id:
+            raise RuntimeError("The input is corrupted")
+        while seq_id < target:
+            chr_text = next(chr_iter)
+            seq_id += 1
+
+    advance_to(int(c[0]))
+    yield "chr", (seq_id, chr_text)
     begin = (int(c[0]), int(pos[0]), int(ids[0]))
     for i in range(1, len(c)):
         end = (int(c[i]), int(pos[i]), int(ids[i]))
@@ -265,10 +279,7 @@ def _iter_segments(in_path: str, genomes: list[str], k: int):
             seg_size = end[1] + k - begin[1]
             yield "seg", (seg_id, seg_size, begin[1], end[1])
         else:
-            chr_text = next(chr_iter)
-            seq_id += 1
-            if end[0] != seq_id:
-                raise RuntimeError("The input is corrupted")
+            advance_to(end[0])
             yield "chr", (seq_id, chr_text)
         begin = end
 

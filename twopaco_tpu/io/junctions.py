@@ -67,7 +67,9 @@ def read_junctions(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     (junctionapi.h:81-99): separators bump the chromosome counter and are
     not returned.
     """
-    size = np.int64(np.fromfile(path, dtype=np.uint8).size)
+    import os
+
+    size = os.path.getsize(path)
     if size % RECORD_DTYPE.itemsize != 0:
         raise RuntimeError(
             f"{path}: size {size} is not a multiple of the 12-byte "

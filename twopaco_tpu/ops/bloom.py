@@ -28,7 +28,9 @@ import jax.numpy as jnp
 U32 = jnp.uint32
 
 BYTE_LAYOUT_MAX_F = 31  # 2 GiB of uint8 slots
-BIT_LAYOUT_MAX_F = 36  # 8 GiB of bits; word index must fit int32
+BIT_LAYOUT_MAX_F = 35  # 4 GiB of bits; word index (2^30) must fit int32
+# (f=36 would need 2^31 words — beyond int32 indexing and the fill
+# sentinel scheme; shard across devices instead)
 
 
 def choose_layout(f: int, byte_budget_bytes: int = 1 << 31) -> str:
@@ -67,8 +69,10 @@ def _index_dtype(n: int):
 def _fill_bits(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     word = (idx >> 5).astype(jnp.int32)
     bit = (idx & 31).astype(jnp.int32)
-    # invalid entries sort to the end and scatter out of bounds (dropped)
-    oob = jnp.int32(0x7FFFFFFF)
+    # invalid entries sort to the end and scatter out of bounds (dropped);
+    # filt.shape[0] <= 2^30 (BIT_LAYOUT_MAX_F) so the sentinel is always
+    # a valid int32 strictly above every real word index
+    oob = jnp.int32(filt.shape[0])
     word = jnp.where(valid, word, oob)
     word, bit = jax.lax.sort((word, bit), num_keys=2)
     prev_word = jnp.concatenate([jnp.full(1, -1, jnp.int32), word[:-1]])

@@ -87,20 +87,25 @@ def _route_records(words, payload, pos, scfg: SortShardConfig, cap: int):
     return send, overflow
 
 
-def _local_sort_judge(recv, scfg: SortShardConfig, abundance):
-    """recv (n, C) routed records -> judged local block."""
+def _local_sort_judge(recv, scfg: SortShardConfig, abundance, check_abundance):
+    """recv (n, C) routed records -> judged local block. Each k-mer group
+    lives entirely on one device (k-mer-range ownership), so the
+    abundance threshold is exact when applied locally."""
     w = scfg.base.w
     words = recv[:, :w]
     payload = recv[:, w]
     pos = recv[:, w + 1]
     sw, pay, spos = sortpipe.sort_records(words + U32(0), payload, pos, w=w)
     keep_first, keep, ids, n_groups, n_junc, n_occ = sortpipe.judge_records(
-        sw, pay, abundance, check_abundance=False
+        sw, pay, abundance, check_abundance=check_abundance
     )
     return sw, spos, keep_first, keep, ids, n_junc, n_occ
 
 
-def _step_fn(codes, valid, low, high, abundance, *, scfg: SortShardConfig, cap: int):
+def _step_fn(
+    codes, valid, low, high, abundance,
+    *, scfg: SortShardConfig, cap: int, check_abundance: bool,
+):
     cfg = scfg.base
     local_rows = cfg.B // scfg.n_devices
     row0 = (jax.lax.axis_index("shard") * local_rows).astype(jnp.uint32)
@@ -112,7 +117,7 @@ def _step_fn(codes, valid, low, high, abundance, *, scfg: SortShardConfig, cap: 
         send, "shard", split_axis=0, concat_axis=0, tiled=False
     ).reshape(-1, cfg.w + 2)
     sw, spos, keep_first, keep, ids, n_junc, n_occ = _local_sort_judge(
-        recv, scfg, abundance
+        recv, scfg, abundance, check_abundance
     )
     # globally consistent ids: exclusive prefix of per-device counts
     all_counts = jax.lax.all_gather(n_junc, "shard")  # (D,)
@@ -137,12 +142,17 @@ def _step_fn(codes, valid, low, high, abundance, *, scfg: SortShardConfig, cap: 
     )
 
 
-def sharded_sort_step(mesh: Mesh, scfg: SortShardConfig):
+def sharded_sort_step(
+    mesh: Mesh, scfg: SortShardConfig, check_abundance: bool = False
+):
     """Jitted full distributed step: (codes, valid, low, high, abundance)
     -> (sorted words, positions, keep_first, global ids, n_junc, n_occ,
     overflow). Rows data-parallel in, k-mer-range-sharded out."""
     fn = jax.shard_map(
-        partial(_step_fn, scfg=scfg, cap=scfg.cap()),
+        partial(
+            _step_fn, scfg=scfg, cap=scfg.cap(),
+            check_abundance=check_abundance,
+        ),
         mesh=mesh,
         in_specs=(P("shard"), P("shard"), P(), P(), P()),
         out_specs=(

@@ -31,10 +31,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from twopaco_tpu.ops import bloom, buzhash as bz, hashing, pack
+from twopaco_tpu.ops import bloom, buzhash as bz, pack
 
 U32 = jnp.uint32
-INVALID_ID = jnp.int64((1 << 63) - 1)  # reference INVALID_VERTEX (common.cpp:5)
 
 
 @dataclass(frozen=True)

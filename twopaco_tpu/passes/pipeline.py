@@ -143,6 +143,12 @@ def _split_rounds(hist: np.ndarray, rounds: int, bin_pow: int) -> list[tuple[int
     shift = 32 - bin_pow
     out = []
     for lo_b, hi_b in bounds:
+        if lo_b >= len(hist):
+            # the greedy boundary consumed every bin already: this round
+            # is empty — use an inverted (always-false) interval so the
+            # uint32 bounds stay valid and rounds remain disjoint
+            out.append((1, 0))
+            continue
         low = lo_b << shift
         high = ((hi_b + 1) << shift) - 1 if hi_b + 1 < len(hist) else 0xFFFFFFFF
         out.append((low, high))

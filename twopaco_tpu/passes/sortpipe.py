@@ -191,7 +191,7 @@ def judge_records(sw, pay, abundance, *, check_abundance: bool):
     n_counts = (in_code == 4).astype(U32) | (
         ((out_code == 4).astype(U32)) << 16
     )
-    n_scan = sg.seg_reduce_broadcast(n_counts, new_group, _sat_add)
+    n_scan = sg.seg_reduce_broadcast(n_counts, new_group, sg._satadd_u16x2)
     n_in = (n_scan & U32(0xFFFF)).astype(jnp.int32)
     n_out = (n_scan >> 16).astype(jnp.int32)
     indeg = popcount4(group_bits & U32(0xF)) + n_in
@@ -211,14 +211,6 @@ def judge_records(sw, pay, abundance, *, check_abundance: bool):
     n_occ = jnp.sum(keep, dtype=jnp.int64)
     return keep_first, keep, ids, n_groups, n_junc, n_occ
 
-
-def _sat_add(a, b):
-    """Saturating per-halfword add on uint32 lanes (two 16-bit counters):
-    each halfword clamps at 0x7FFF so huge groups cannot overflow into
-    the neighbouring counter (we only ever test >= 2)."""
-    lo = jnp.minimum((a & U32(0xFFFF)) + (b & U32(0xFFFF)), U32(0x7FFF))
-    hi = jnp.minimum((a >> 16) + (b >> 16), U32(0x7FFF))
-    return lo | (hi << 16)
 
 
 # --- chunked judge + compaction: every compiled program is bounded to
@@ -501,7 +493,10 @@ def build_junctions_sorted(
         buf_pay = jnp.zeros(buf_slots, U32)
         buf_pos = jnp.zeros(buf_slots, U32)
         offset = 0
-        if len(intervals) == 1 and buf_slots == n_slots:
+        # single round: direct whole-batch appends (rows land at
+        # row0*P <= n_slots - B*P <= buf_slots - B*P, never clamped),
+        # regardless of JUDGE_CHUNK padding on buf_slots
+        if len(intervals) == 1:
             # single round: append whole batches, no compaction needed
             for codes_d, valid_d, row0 in dev_batches:
                 words, payload, pos = build_sort_records(
