@@ -61,6 +61,10 @@ def make_parser() -> argparse.ArgumentParser:
         help="Write a jax.profiler trace of the run to DIR",
     )
     p.add_argument(
+        "--tpu-checkpoint", default=None, metavar="DIR",
+        help="Round-boundary checkpoint directory (resume on rerun)",
+    )
+    p.add_argument(
         "--tpu-engine", choices=["sort", "bloom"], default="sort",
         help="Device engine: sort-join (default) or Bloom two-pass",
     )
@@ -126,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
             out_path=args.outfile,
             log=print,
             profile_dir=args.tpu_profile,
+            checkpoint_dir=args.tpu_checkpoint,
         )
     except (OSError, RuntimeError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)

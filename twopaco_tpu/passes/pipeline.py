@@ -219,6 +219,7 @@ def build_junctions(
     sequences: Sequence[tuple[int, np.ndarray]] | None = None,
     log: Callable[[str], None] = lambda s: None,
     profile_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> Enumerator:
     """Run the full pipeline; returns the Enumerator (junction dict).
 
@@ -226,20 +227,22 @@ def build_junctions(
     directly as [(seq_id, codes uint8)]. profile_dir: write a
     jax.profiler trace of the device passes there (the reference's only
     observability is coarse per-pass wall clock, SURVEY.md §5; we get
-    real traces).
+    real traces). checkpoint_dir: resume completed rounds from / save
+    them to this directory (sort engine).
     """
     if profile_dir is not None:
         import jax.profiler
 
         with jax.profiler.trace(profile_dir):
             return build_junctions(
-                input_paths, config, out_path, sequences, log, None
+                input_paths, config, out_path, sequences, log, None,
+                checkpoint_dir,
             )
     if config.engine == "sort":
         from twopaco_tpu.passes import sortpipe
 
         return sortpipe.build_junctions_sorted(
-            input_paths, config, out_path, sequences, log
+            input_paths, config, out_path, sequences, log, checkpoint_dir
         )
     cfg = config.pass_config()
     wcfg = config.window_config()

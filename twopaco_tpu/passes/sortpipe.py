@@ -404,12 +404,80 @@ def compact_words_chunked(flag, words, total: int) -> np.ndarray:
     return np.asarray(buf)[:total]
 
 
+class _Checkpoint:
+    """Round-boundary checkpointing: each completed round's junction
+    table, occurrences and stats land in <dir>/round_<r>.npz, guarded by
+    a meta.json of the run parameters (mismatched parameters invalidate
+    the checkpoint rather than resuming wrongly)."""
+
+    def __init__(self, directory, config: PipelineConfig, n_slots, intervals):
+        self.dir = directory
+        if directory is None:
+            return
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self.meta = dict(
+            k=config.k,
+            abundance=config.abundance,
+            n_slots=int(n_slots),
+            intervals=[list(map(int, iv)) for iv in intervals],
+            version=1,
+        )
+        meta_path = os.path.join(directory, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if json.load(f) != self.meta:
+                    for fn in os.listdir(directory):
+                        if fn.startswith("round_") or fn == "meta.json":
+                            os.remove(os.path.join(directory, fn))
+        with open(meta_path, "w") as f:
+            json.dump(self.meta, f)
+
+    def _path(self, r: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"round_{r}.npz")
+
+    def load_round(self, r: int):
+        if self.dir is None:
+            return None
+        import json
+        import os
+
+        p = self._path(r)
+        if not os.path.exists(p):
+            return None
+        z = np.load(p, allow_pickle=False)
+        rstats = json.loads(str(z["stats"]))
+        return z["table"], z["occ_pos"], z["occ_ids"], rstats
+
+    def save_round(self, r, table, occ_pos, occ_ids, rstats) -> None:
+        if self.dir is None:
+            return
+        import json
+
+        import os
+
+        tmp = self._path(r) + ".tmp.npz"  # .npz suffix: savez won't append
+        np.savez(
+            tmp,
+            table=table,
+            occ_pos=occ_pos,
+            occ_ids=occ_ids,
+            stats=np.asarray(json.dumps(rstats)),
+        )
+        os.replace(tmp, self._path(r))
+
+
 def build_junctions_sorted(
     input_paths: Sequence[str] | None,
     config: PipelineConfig,
     out_path: str | None = None,
     sequences: Sequence[tuple[int, np.ndarray]] | None = None,
     log: Callable[[str], None] = lambda s: None,
+    checkpoint_dir: str | None = None,
 ) -> Enumerator:
     """Sort-join counterpart of pipeline.build_junctions (same contract)."""
     cfg = config.pass_config()
@@ -483,9 +551,22 @@ def build_junctions_sorted(
     else:
         buf_slots = padded_buf
 
+    # checkpoint/resume at round boundaries (the reference keeps
+    # intermediate files but has no resume, SURVEY.md §5); rounds are
+    # deterministic so completed ones can be reloaded verbatim
+    ckpt = _Checkpoint(checkpoint_dir, config, n_slots, intervals)
+
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
     for r, (low, high) in enumerate(intervals):
+        restored = ckpt.load_round(r)
+        if restored is not None:
+            table, op, oi, rstats = restored
+            round_tables.append(table)
+            round_occ.append((op, oi))
+            stats.rounds.append(rstats)
+            log(f"Round {r}: restored from checkpoint")
+            continue
         low_d, high_d = jnp.uint32(low), jnp.uint32(high)
         log(f"Round {r}, {low}:{high}")
         t0 = time.time()
@@ -579,6 +660,10 @@ def build_junctions_sorted(
             f"Build\t{t_build:.1f}\nSort+judge\t{t_sort:.1f}\n"
             f"Compact\t{t_compact:.1f}\nTrue junctions = {n_junc}\n"
             f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
+        )
+        ckpt.save_round(
+            r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
+            stats.rounds[-1],
         )
 
     # ---- merge rounds: global dictionary + id remap --------------------
