@@ -359,8 +359,11 @@ def compact_flagged_chunked(flag, col_a, col_b, total: int):
         s = slice(c * chunk, (c + 1) * chunk)
         pend.append(_compact_chunk2(flag[s], col_a[s], col_b[s]))
     counts = np.asarray(jnp.stack([p[2] for p in pend]))
-    buf_a = jnp.zeros(total + chunk, col_a.dtype)
-    buf_b = jnp.zeros(total + chunk, col_b.dtype)
+    # pow2-bucketed buffer length: totals vary per round and would
+    # otherwise mint a fresh append/alloc program shape every round
+    buf_len = _bucket_cap(max(total, 1), m) + chunk
+    buf_a = jnp.zeros(buf_len, col_a.dtype)
+    buf_b = jnp.zeros(buf_len, col_b.dtype)
     offset = 0
     for (a, b, _c), cnt in zip(pend, counts):
         buf_a, buf_b = _append2(buf_a, buf_b, a, b, jnp.int32(offset))
@@ -395,7 +398,8 @@ def compact_words_chunked(flag, words, total: int) -> np.ndarray:
         s = slice(c * chunk, (c + 1) * chunk)
         pend.append(_compact_chunk_words(flag[s], words[s]))
     counts = np.asarray(jnp.stack([p[1] for p in pend]))
-    buf = jnp.zeros((total + chunk, words.shape[1]), words.dtype)
+    buf_len = _bucket_cap(max(total, 1), m) + chunk
+    buf = jnp.zeros((buf_len, words.shape[1]), words.dtype)
     offset = 0
     for (wc, _c), cnt in zip(pend, counts):
         buf = _append_words(buf, wc, jnp.int32(offset))
