@@ -113,6 +113,17 @@ def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
+def reset_buffers(buf_w, buf_pay, buf_pos):
+    """Recycle the previous round's (donated) arrays as fresh sentinel
+    buffers — avoids 3 HBM alloc/free RPC round-trips per round."""
+    return (
+        jnp.full_like(buf_w, SENTINEL_WORD),
+        jnp.zeros_like(buf_pay),
+        jnp.zeros_like(buf_pos),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
 def append_records(buf_w, buf_pay, buf_pos, words, payload, pos, offset):
     zero = jnp.int32(0)
     buf_w = jax.lax.dynamic_update_slice(buf_w, words, (offset, zero))
@@ -562,6 +573,7 @@ def build_junctions_sorted(
 
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
+    recycled = None  # previous round's sorted arrays, reused as buffers
     for r, (low, high) in enumerate(intervals):
         restored = ckpt.load_round(r)
         if restored is not None:
@@ -574,9 +586,13 @@ def build_junctions_sorted(
         low_d, high_d = jnp.uint32(low), jnp.uint32(high)
         log(f"Round {r}, {low}:{high}")
         t0 = time.time()
-        buf_w = jnp.full((buf_slots, cfg.w), SENTINEL_WORD, U32)
-        buf_pay = jnp.zeros(buf_slots, U32)
-        buf_pos = jnp.zeros(buf_slots, U32)
+        if recycled is None:
+            buf_w = jnp.full((buf_slots, cfg.w), SENTINEL_WORD, U32)
+            buf_pay = jnp.zeros(buf_slots, U32)
+            buf_pos = jnp.zeros(buf_slots, U32)
+        else:
+            buf_w, buf_pay, buf_pos = reset_buffers(*recycled)
+            recycled = None
         offset = 0
         # single round: direct whole-batch appends (rows land at
         # row0*P <= n_slots - B*P <= buf_slots - B*P, never clamped),
@@ -646,7 +662,8 @@ def build_junctions_sorted(
         round_occ.append((op[order], oi[order]))
         round_tables.append(table)
         t_compact = time.time() - t0
-        del sw, pay, pos, keep_first, keep, ids, buf_w, buf_pay, buf_pos
+        recycled = (sw, pay, pos)  # reuse next round instead of free+alloc
+        del sw, pay, pos, keep_first, keep, ids
         stats.rounds.append(
             dict(
                 low=low,
@@ -669,6 +686,8 @@ def build_junctions_sorted(
             r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
             stats.rounds[-1],
         )
+
+    recycled = None  # release the last round's device buffers
 
     # ---- merge rounds: global dictionary + id remap --------------------
     t0 = time.time()
