@@ -112,6 +112,10 @@ int tp_encode_fasta(const char* path, TpFastaResult* out) {
     offsets.push_back((int64_t)codes.size());
 
     i = line_end < n ? line_end + 1 : n;
+    // any '>' in a body — even mid-line — starts the next record: the
+    // reference's GetChar ends the record on '>' unconditionally
+    // (streamfastaparser.cpp:73-77), verified by the acceptance fuzz
+    // against the reference binary (tests/test_fasta_fuzz.py)
     while (i < n && buf[i] != '>') {
       uint8_t c = kTable.code[buf[i]];
       if (c < 5) {

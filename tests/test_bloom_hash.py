@@ -1,31 +1,12 @@
-"""Hashing determinism and Bloom fill/probe (both layouts)."""
+"""Bloom fill/probe determinism (both layouts)."""
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from twopaco_tpu.ops import bloom, hashing
+from twopaco_tpu.ops import bloom
 
 RNG = np.random.default_rng(11)
-
-
-def test_mix32_matches_numpy_twin():
-    words = RNG.integers(0, 2**32, size=(100, 3), dtype=np.uint32)
-    got = np.asarray(hashing.mix32(jnp.asarray(words), hashing.SEED_VERTEX))
-    want = hashing.mix32_np(words, hashing.SEED_VERTEX)
-    np.testing.assert_array_equal(got, want)
-
-
-def test_bloom_indices_shapes_and_range():
-    words = jnp.asarray(RNG.integers(0, 2**32, size=(50, 2), dtype=np.uint32))
-    for f in (20, 32, 34):
-        idx = np.asarray(hashing.bloom_indices(words, q=5, f=f))
-        assert idx.shape == (50, 5)
-        assert idx.max() < (1 << f)
-    # determinism
-    a = np.asarray(hashing.bloom_indices(words, q=3, f=30))
-    b = np.asarray(hashing.bloom_indices(words, q=3, f=30))
-    np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.parametrize("layout", ["byte", "bit"])

@@ -89,7 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.test:
         from twopaco_tpu.testing.selftest import run_tests
 
-        ok = run_tests(tests=10, filter_bits=20, length=2000, chr_number=4)
+        # reference sweep: constructor.cpp:147 (defaults of run_tests)
+        ok = run_tests(tmpdir=args.tmpdir if args.tmpdir != "." else None)
         return 0 if ok else 1
 
     if args.kvalue % 2 != 1:
@@ -108,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.filtersize is not None:
         filter_bits = args.filtersize
     else:
+        # identical to the reference conversion (constructor.cpp:158):
+        # int64_t filterBits = log2(GB * 8e+9) — decimal GB, the double
+        # log2 truncated toward zero
         filter_bits = int(math.log2(args.filtermemory * 8e9))
 
     from twopaco_tpu.passes import PipelineConfig, build_junctions

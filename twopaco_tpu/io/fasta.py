@@ -104,20 +104,28 @@ def read_sequences_text(paths: Iterable[str | os.PathLike]) -> Iterator[str]:
 
 
 def _record_spans(buf: np.ndarray, path: str):
-    """Yield (record_start, header_line_end, record_end) index triples."""
+    """Yield (record_start, header_line_end, record_end) index triples.
+
+    Reference semantics (verified by the acceptance fuzz against the
+    reference binary): ANY '>' in a body — even mid-line — starts the
+    next record (GetChar ends the body on '>' unconditionally,
+    streamfastaparser.cpp:73-77), while a '>' inside a header line is
+    plain header text (ReadRecord consumes the whole line, :44-55).
+    """
     if buf.size == 0:
         return
-    gt = buf == ord(">")
-    at_line_start = np.empty_like(gt)
-    at_line_start[0] = True
-    at_line_start[1:] = buf[:-1] == ord("\n")
-    starts = np.flatnonzero(gt & at_line_start)
-    if starts.size == 0 or starts[0] != 0 or buf[0] != ord(">"):
+    if buf[0] != ord(">"):
         raise FastaError(f"{path}: the FASTA header should start with a '>'")
-    bounds = np.append(starts, buf.size)
+    gts = np.flatnonzero(buf == ord(">"))
     newlines = np.flatnonzero(buf == ord("\n"))
-    for i in range(starts.size):
-        s, e = bounds[i], bounds[i + 1]
+    spans = []
+    i = 0
+    while i < gts.size:
+        s = int(gts[i])
         j = np.searchsorted(newlines, s)
-        hdr_end = newlines[j] if j < newlines.size and newlines[j] < e else e
+        hdr_end = int(newlines[j]) if j < newlines.size else buf.size
+        i = int(np.searchsorted(gts, hdr_end))
+        spans.append((s, hdr_end))
+    for idx, (s, hdr_end) in enumerate(spans):
+        e = spans[idx + 1][0] if idx + 1 < len(spans) else buf.size
         yield s, hdr_end, e

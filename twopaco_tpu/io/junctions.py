@@ -60,6 +60,33 @@ class JunctionWriter:
         self.close()
 
 
+def write_records_with_separators(
+    path: str, chrs: np.ndarray, pos: np.ndarray, ids: np.ndarray
+) -> None:
+    """Write a whole run's records in one vectorized shot.
+
+    chrs must be nondecreasing; a separator record is materialized per
+    chromosome increment (including skipped chromosomes), exactly like
+    the incremental JunctionWriter / the reference's writer
+    (junctionapi.h:118-132).
+    """
+    chrs = np.asarray(chrs, np.int64)
+    n = len(chrs)
+    prev = np.empty(n, np.int64)
+    if n:
+        prev[0] = 0
+        prev[1:] = chrs[:-1]
+    diff = chrs - prev
+    out = np.empty(n + int(diff.sum()), dtype=RECORD_DTYPE)
+    out["pos"] = SEPARATOR_POS
+    out["id"] = SEPARATOR_ID
+    at = np.arange(n, dtype=np.int64) + np.cumsum(diff)
+    out["pos"][at] = pos
+    out["id"][at] = ids
+    with open(path, "wb") as f:
+        out.tofile(f)
+
+
 def read_junctions(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Read the whole file -> (chr int32, pos uint32, id int64) arrays.
 

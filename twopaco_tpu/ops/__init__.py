@@ -1,1 +1,1 @@
-from twopaco_tpu.ops import pack, hashing, bloom
+from twopaco_tpu.ops import pack, bloom

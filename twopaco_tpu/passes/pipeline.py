@@ -54,6 +54,16 @@ class PipelineConfig:
     sort_chunk: int = 1 << 22  # max records per round sort (sort engine)
     round_slack: float = 1.25  # round buffer slack over even split
 
+    def __post_init__(self) -> None:
+        # k must be odd everywhere, not just in the CLI: even k breaks
+        # canonicalization (palindromic k-mers tie with their own RC) and
+        # the all-ones sentinel-word assumption for k % 16 == 0
+        # (reference enforces the same, constructor.cpp:29-51)
+        if self.k % 2 != 1:
+            raise ValueError(f"k must be odd (got {self.k})")
+        if self.k < 3:
+            raise ValueError(f"k must be >= 3 (got {self.k})")
+
     def resolve_layout(self) -> str:
         if self.layout != "auto":
             return self.layout
@@ -164,52 +174,83 @@ def _bucket_cap(count: int, hard_max: int) -> int:
     return min(_next_pow2(max(count, 1)), hard_max)
 
 
-def emit_row(
-    writer: junction_io.JunctionWriter,
-    sid: int,
-    p0: int,
-    v: int,
-    n_pos: int,
-    cols: np.ndarray,
-    row_ids: np.ndarray,
-    stub_id: int,
+def _present(sorted_arr: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Element-of test for each target against a sorted array."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(targets), bool)
+    idx = np.minimum(
+        np.searchsorted(sorted_arr, targets), len(sorted_arr) - 1
+    )
+    return sorted_arr[idx] == targets
+
+
+def emit_junctions(
+    out_path: str,
+    batches,
+    occ_pos: np.ndarray,
+    occ_ids: np.ndarray,
+    table_len: int,
+    P: int,
 ) -> tuple[int, int]:
-    """Write one window row's occurrences + endpoint stubs, in position
-    order (EdgeConstructionWorker semantics, vertexenumerator.h:927-958:
-    stubs get fresh sequential ids at unresolved first/last positions of
-    a sequence). cols: ascending in-row offsets of resolved junctions.
-    Returns (next stub_id, occurrences written)."""
-    pre: list[tuple[int, int]] = []
-    post: list[tuple[int, int]] = []
-    first_stubbed = False
-    if p0 == 1 and (len(cols) == 0 or cols[0] != 0):
-        pre.append((0, stub_id))
-        stub_id += 1
-        first_stubbed = True
-    j_last = n_pos - p0
-    if 0 <= j_last < v and not (first_stubbed and j_last == 0):
-        at = np.searchsorted(cols, j_last)
-        if at >= len(cols) or cols[at] != j_last:
-            post.append((j_last, stub_id))
-            stub_id += 1
-    if not (pre or post or len(cols)):
-        return stub_id, 0
-    all_cols = np.concatenate(
-        [
-            np.asarray([c for c, _ in pre], np.int64),
-            cols,
-            np.asarray([c for c, _ in post], np.int64),
-        ]
+    """Pass-4 output, fully vectorized: stub synthesis + separator
+    insertion as numpy array ops instead of per-row Python.
+
+    Semantics are the reference EdgeConstructionWorker's
+    (vertexenumerator.h:927-958): every sequence's first/last vertex
+    position gets a fresh stub id when it isn't a resolved junction --
+    except stub ids here are deterministic, assigned in input order
+    (stream order), not worker-arrival order.
+
+    occ_pos: sorted global flat positions (row * P + col) of resolved
+    junction occurrences; occ_ids: their signed ids. Returns
+    (records_written, stub_count).
+    """
+    seq_id = np.concatenate([b.seq_id for b in batches]).astype(np.int64)
+    pos0 = np.concatenate([b.pos0 for b in batches])
+    valid = np.concatenate([b.valid for b in batches]).astype(np.int64)
+    n_pos = np.concatenate([b.n_pos for b in batches])
+    n_rows = len(seq_id)
+    rows = np.arange(n_rows, dtype=np.int64)
+    occ_pos = occ_pos.astype(np.int64, copy=False)
+    live = seq_id >= 0
+
+    # stubs at unresolved sequence endpoints, in stream order: a
+    # sequence's first position is strictly before any of its resolved
+    # occurrences (their in-row cols are >= 1 when the stub fires) and
+    # the last strictly after, so (flat position) order IS stream order
+    first_flat = rows * P
+    pre = live & (pos0 == 1) & ~_present(occ_pos, first_flat)
+    j_last = n_pos - pos0
+    is_last_row = live & (j_last >= 0) & (j_last < valid)
+    last_flat = rows * P + np.where(is_last_row, j_last, 0)
+    post = (
+        is_last_row
+        & ~_present(occ_pos, last_flat)
+        & ~(pre & (j_last == 0))  # 1-position sequence: one stub only
     )
+    stub_flat = np.sort(np.concatenate([first_flat[pre], last_flat[post]]))
+    stub_ids = (
+        np.arange(len(stub_flat), dtype=np.int64)
+        + table_len
+        + STUB_ID_OFFSET
+    )
+
+    all_flat = np.concatenate([occ_pos, stub_flat])
     all_ids = np.concatenate(
-        [
-            np.asarray([i for _, i in pre], np.int64),
-            row_ids,
-            np.asarray([i for _, i in post], np.int64),
-        ]
+        [occ_ids.astype(np.int64, copy=False), stub_ids]
     )
-    writer.write_array(sid, (p0 - 1 + all_cols).astype(np.uint32), all_ids)
-    return stub_id, len(all_cols)
+    order = np.argsort(all_flat, kind="stable")
+    all_flat = all_flat[order]
+    all_ids = all_ids[order]
+
+    row_of = all_flat // P
+    junction_io.write_records_with_separators(
+        out_path,
+        seq_id[row_of],
+        (pos0[row_of] - 1 + (all_flat - row_of * P)).astype(np.uint32),
+        all_ids,
+    )
+    return len(all_flat), len(stub_flat)
 
 
 def build_junctions(
@@ -407,47 +448,39 @@ def build_junctions(
     if out_path is not None:
         t0 = time.time()
         table_d = jnp.asarray(table)
-        stub_id = len(table) + STUB_ID_OFFSET
-        occurrences = 0
-        with junction_io.JunctionWriter(out_path) as writer:
-            pending = []
-            for bi, (codes_d, valid_d) in enumerate(dev_batches):
-                packed = round_masks[0][bi].copy()
-                bound = round_counts[0][bi]
-                for rm, rc_ in zip(round_masks[1:], round_counts[1:]):
-                    packed |= rm[bi]
-                    bound += rc_[bi]
-                cap = _bucket_cap(bound, cfg.B * cfg.P)
-                pos_f, ids_f, cnt = kernels.pass4_lookup(
-                    codes_d, jnp.asarray(packed), valid_d, table_d,
-                    cfg=cfg, cap=cap,
-                )
-                pending.append((pos_f, ids_f, cnt))
-            for b, (pos_f, ids_f, cnt) in zip(batches, pending):
-                cnt = int(cnt)
-                pos_f = np.asarray(pos_f)[:cnt]
-                ids_f = np.asarray(ids_f)[:cnt].astype(np.int64)
-                P = cfg.P
-                for r_i in range(cfg.B):
-                    sid = int(b.seq_id[r_i])
-                    if sid < 0:
-                        continue
-                    v = int(b.valid[r_i])
-                    lo = np.searchsorted(pos_f, r_i * P)
-                    hi = np.searchsorted(pos_f, r_i * P + v)
-                    stub_id, n = emit_row(
-                        writer,
-                        sid,
-                        int(b.pos0[r_i]),
-                        v,
-                        int(b.n_pos[r_i]),
-                        (pos_f[lo:hi] - r_i * P).astype(np.int64),
-                        ids_f[lo:hi],
-                        stub_id,
-                    )
-                    occurrences += n
+        pending = []
+        for bi, (codes_d, valid_d) in enumerate(dev_batches):
+            packed = round_masks[0][bi].copy()
+            bound = round_counts[0][bi]
+            for rm, rc_ in zip(round_masks[1:], round_counts[1:]):
+                packed |= rm[bi]
+                bound += rc_[bi]
+            cap = _bucket_cap(bound, cfg.B * cfg.P)
+            pos_f, ids_f, cnt = kernels.pass4_lookup(
+                codes_d, jnp.asarray(packed), valid_d, table_d,
+                cfg=cfg, cap=cap,
+            )
+            pending.append((pos_f, ids_f, cnt))
+        all_pos: list[np.ndarray] = []
+        all_ids: list[np.ndarray] = []
+        for b, (pos_f, ids_f, cnt) in zip(batches, pending):
+            cnt = int(cnt)
+            # batch-local flat positions -> global (row * P + col)
+            all_pos.append(
+                np.asarray(pos_f)[:cnt].astype(np.int64) + b.row0 * cfg.P
+            )
+            all_ids.append(np.asarray(ids_f)[:cnt].astype(np.int64))
+        occ_pos = (
+            np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
+        )
+        occ_ids = (
+            np.concatenate(all_ids) if all_ids else np.zeros(0, np.int64)
+        )
+        occurrences, n_stubs = emit_junctions(
+            out_path, batches, occ_pos, occ_ids, len(table), cfg.P
+        )
         stats.occurrences = occurrences
-        stats.stub_ids = stub_id - len(table) - STUB_ID_OFFSET
+        stats.stub_ids = n_stubs
         stats.timings["emit"] = time.time() - t0
         log(
             f"True marks count: {occurrences}\n"

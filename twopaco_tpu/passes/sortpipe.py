@@ -53,7 +53,7 @@ from twopaco_tpu.passes.pipeline import (
     STUB_ID_OFFSET,
     _bucket_cap,
     _split_rounds,
-    emit_row as pipeline_emit_row,
+    emit_junctions,
 )
 
 U32 = jnp.uint32
@@ -419,13 +419,37 @@ def compact_words_chunked(flag, words, total: int) -> np.ndarray:
     return np.asarray(buf)[:total]
 
 
+def _input_fingerprint(input_paths, sequences) -> str:
+    """Identity of the run's input for checkpoint validation: file
+    paths+sizes+mtimes when reading from disk, a content hash of the
+    encoded sequences otherwise."""
+    import hashlib
+    import os
+
+    h = hashlib.blake2b(digest_size=16)
+    if input_paths is not None:
+        for p in input_paths:
+            st = os.stat(p)
+            h.update(
+                f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns};".encode()
+            )
+    else:
+        for sid, codes in sequences:
+            h.update(f"{sid}:{len(codes)}:".encode())
+            h.update(np.ascontiguousarray(codes, np.uint8).tobytes())
+    return h.hexdigest()
+
+
 class _Checkpoint:
     """Round-boundary checkpointing: each completed round's junction
     table, occurrences and stats land in <dir>/round_<r>.npz, guarded by
     a meta.json of the run parameters (mismatched parameters invalidate
     the checkpoint rather than resuming wrongly)."""
 
-    def __init__(self, directory, config: PipelineConfig, n_slots, intervals):
+    def __init__(
+        self, directory, config: PipelineConfig, n_slots, intervals,
+        fingerprint=None,
+    ):
         self.dir = directory
         if directory is None:
             return
@@ -438,7 +462,10 @@ class _Checkpoint:
             abundance=config.abundance,
             n_slots=int(n_slots),
             intervals=[list(map(int, iv)) for iv in intervals],
-            version=1,
+            # input identity: a changed input must invalidate the
+            # checkpoint even when the padded slot count happens to match
+            fingerprint=fingerprint,
+            version=2,
         )
         meta_path = os.path.join(directory, "meta.json")
         if os.path.exists(meta_path):
@@ -569,7 +596,12 @@ def build_junctions_sorted(
     # checkpoint/resume at round boundaries (the reference keeps
     # intermediate files but has no resume, SURVEY.md §5); rounds are
     # deterministic so completed ones can be reloaded verbatim
-    ckpt = _Checkpoint(checkpoint_dir, config, n_slots, intervals)
+    fingerprint = None
+    if checkpoint_dir is not None:
+        fingerprint = _input_fingerprint(input_paths, sequences)
+    ckpt = _Checkpoint(
+        checkpoint_dir, config, n_slots, intervals, fingerprint
+    )
 
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
@@ -733,32 +765,11 @@ def build_junctions_sorted(
         else:
             occ_pos = np.zeros(0, np.int64)
             occ_ids = np.zeros(0, np.int64)
-        stub_id = len(table) + STUB_ID_OFFSET
-        occurrences = 0
-        P = cfg.P
-        with junction_io.JunctionWriter(out_path) as writer:
-            for b in batches:
-                for r_i in range(cfg.B):
-                    sid = int(b.seq_id[r_i])
-                    if sid < 0:
-                        continue
-                    v = int(b.valid[r_i])
-                    flat0 = (b.row0 + r_i) * P
-                    lo = np.searchsorted(occ_pos, flat0)
-                    hi = np.searchsorted(occ_pos, flat0 + v)
-                    stub_id, n = pipeline_emit_row(
-                        writer,
-                        sid,
-                        int(b.pos0[r_i]),
-                        v,
-                        int(b.n_pos[r_i]),
-                        (occ_pos[lo:hi] - flat0).astype(np.int64),
-                        occ_ids[lo:hi],
-                        stub_id,
-                    )
-                    occurrences += n
+        occurrences, n_stubs = emit_junctions(
+            out_path, batches, occ_pos, occ_ids, len(table), cfg.P
+        )
         stats.occurrences = occurrences
-        stats.stub_ids = stub_id - len(table) - STUB_ID_OFFSET
+        stats.stub_ids = n_stubs
         stats.timings["emit"] = time.time() - t0
         log(f"True marks count: {occurrences}")
 

@@ -20,18 +20,29 @@ from twopaco_tpu.testing import oracle
 def run_tests(
     tests: int = 10,
     filter_bits: int = 20,
-    length: int = 2000,
-    chr_number: int = 4,
+    length: int = 9000,
+    chr_number: int = 6,
     k_values: tuple[int, ...] = (3, 5, 7, 9),
+    hash_values: tuple[int, ...] = (1,),
     rounds_values: tuple[int, ...] = (1, 2, 3, 4),
     change_rate: float = 0.05,
     indel_rate: float = 0.1,
-    tmpdir: str = ".",
+    tmpdir: str | None = None,
     seed: int | None = None,
     log=print,
 ) -> bool:
+    """Defaults match the reference's sweep exactly (constructor.cpp:147:
+    RunTests(10, 20, 9000, 6, k 3..9 odd, hf {1}, r {1..4}, thr {4})),
+    run over BOTH engines; threads have no analogue here."""
+    import os
+    import tempfile
+
     rng = np.random.default_rng(seed)
-    out_path = f"{tmpdir}/twopaco_tpu_selftest.bin"
+    own_dir = None
+    if tmpdir is None:
+        own_dir = tempfile.TemporaryDirectory(prefix="twopaco_tpu_test_")
+        tmpdir = own_dir.name
+    out_path = os.path.join(tmpdir, "twopaco_tpu_selftest.bin")
     for t in range(tests):
         base = oracle.generate_sequence(rng, length)
         seqs = [base] + [
@@ -41,12 +52,16 @@ def run_tests(
         sequences = [(i, dna.encode(s)) for i, s in enumerate(seqs)]
         for k in k_values:
             junc, want = oracle.find_junctions_naively(seqs, k)
-            for rounds, engine in [
-                (r, e) for r in rounds_values for e in ("sort", "bloom")
+            for rounds, hf, engine in [
+                (r, h, e)
+                for r in rounds_values
+                for h in hash_values
+                for e in ("sort", "bloom")
             ]:
                 cfg = PipelineConfig(
                     k=k,
                     filter_bits=filter_bits,
+                    hash_functions=hf,
                     rounds=rounds,
                     engine=engine,
                     positions_per_row=512,
@@ -64,7 +79,7 @@ def run_tests(
                         bad = np.nonzero(got[i] != want[i])[0]
                         log(
                             f"ERROR at chr {i} pos {bad[:5].tolist()} "
-                            f"(k={k} rounds={rounds} engine={engine})"
+                            f"(k={k} rounds={rounds} q={hf} engine={engine})"
                         )
                         log(f"Test # {t} FAILED")
                         return False
@@ -74,6 +89,8 @@ def run_tests(
                         log(f"Test # {t} FAILED")
                         return False
         log(f"Test # {t} PASSED")
+    if own_dir is not None:
+        own_dir.cleanup()
     return True
 
 
