@@ -31,6 +31,7 @@ to global ranks at the end).
 from __future__ import annotations
 
 import math
+import os
 import time
 from functools import partial
 from typing import Callable, Sequence
@@ -59,16 +60,18 @@ from twopaco_tpu.passes.pipeline import (
 U32 = jnp.uint32
 SENTINEL_WORD = jnp.uint32(0xFFFFFFFF)
 
+# HBM byte budget for resident-parts mode (records kept on device across
+# rounds instead of rebuilt per round). v5e has 16 GB; the round's sort
+# needs ~2x the buffer on top of the parts, so cap the parts well below.
+_RESIDENT_BYTES = int(
+    os.environ.get("TWOPACO_RESIDENT_BYTES", str(6 << 30))
+)
 
-@partial(jax.jit, static_argnames=("cfg",))
-def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
-    """One record per vertex position of the batch.
 
-    -> (words (B*P, w) canonical, payload (B*P,) u32 = in | out<<8 |
-    is_rc<<16, pos (B*P,) u32 global flat position). Invalid /
-    non-definite / out-of-round rows become all-ones sentinels that sort
-    to the end.
-    """
+def _batch_records(codes, valid, row0, cfg):
+    """Record columns for every vertex position of one batch (ungated):
+    (canonical words (B,P,w), payload u32 in|out<<8|is_rc<<16, symmetric
+    vertex hash hv (B,P), validity ok (B,P), flat position (B,P))."""
     k, P = cfg.k, cfg.P
     B = codes.shape[0]  # may be cfg.B / n_devices under shard_map
     words_all, rc_all, def_all = kernels._strand_arrays(codes, cfg)
@@ -83,28 +86,33 @@ def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
         *bz.hash_scans(codes, bz.TABLE_1), k, P + 1
     )
     hv = hf[:, 1 : P + 1] + hr[:, 1 : P + 1]
-    ok = (
-        kernels._pos_ok(valid, P)
-        & defV
-        & kernels._within(hv, low, high_incl)
-    )
+    ok = kernels._pos_ok(valid, P) & defV
 
     in_code = jnp.where(is_rc, kernels._comp4(nxt), prev).astype(U32)
     out_code = jnp.where(is_rc, kernels._comp4(prev), nxt).astype(U32)
-    payload = (
-        in_code
-        | (out_code << 8)
-        | (is_rc.astype(U32) << 16)
-        | (ok.astype(U32) << 17)  # 'real record' bit
-    )
-
-    words = jnp.where(ok[..., None], canonV, SENTINEL_WORD)
-    payload = jnp.where(ok, payload, U32(0))
+    payload = in_code | (out_code << 8) | (is_rc.astype(U32) << 16)
     flat = (
         (row0.astype(jnp.uint32) + jnp.arange(B, dtype=jnp.uint32))[:, None]
         * U32(P)
         + jnp.arange(P, dtype=jnp.uint32)[None, :]
     )
+    return canonV, payload, hv, ok, flat
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
+    """One record per vertex position of the batch.
+
+    -> (words (B*P, w) canonical, payload (B*P,) u32 = in | out<<8 |
+    is_rc<<16 | real<<17, pos (B*P,) u32 global flat position). Invalid /
+    non-definite / out-of-round rows become all-ones sentinels that sort
+    to the end.
+    """
+    B, P = codes.shape[0], cfg.P
+    canonV, payload, hv, ok, flat = _batch_records(codes, valid, row0, cfg)
+    ok = ok & kernels._within(hv, low, high_incl)
+    words = jnp.where(ok[..., None], canonV, SENTINEL_WORD)
+    payload = jnp.where(ok, payload | (U32(1) << 17), U32(0))
     return (
         words.reshape(B * P, cfg.w),
         payload.reshape(-1),
@@ -112,15 +120,94 @@ def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
     )
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def reset_buffers(buf_w, buf_pay, buf_pos):
-    """Recycle the previous round's (donated) arrays as fresh sentinel
-    buffers — avoids 3 HBM alloc/free RPC round-trips per round."""
-    return (
-        jnp.full_like(buf_w, SENTINEL_WORD),
-        jnp.zeros_like(buf_pay),
-        jnp.zeros_like(buf_pos),
+@partial(jax.jit, static_argnames=("cfg", "n_parts", "part_cap"))
+def build_and_partition(codes, valid, row0, highs, *, cfg, n_parts, part_cap):
+    """Build one batch's records and split them by round in ONE fused
+    program: the resident-parts engine builds records once per run
+    instead of once per round (the stream engine's re-build is the
+    analogue of the reference re-streaming FASTA every round,
+    vertexenumerator.h:228-392 — here the partition replaces it).
+
+    Round of a record = interval index of its symmetric vertex hash
+    (highs = ascending inclusive interval upper bounds). Returns fixed
+    shapes regardless of data: (words (n_parts, part_cap, w), payload
+    (n_parts, part_cap), pos (n_parts, part_cap), counts (n_parts,)).
+    counts[r] > part_cap means the fixed cap overflowed (records beyond
+    it were dropped) — the caller MUST check and re-partition.
+    """
+    B, P, w = codes.shape[0], cfg.P, cfg.w
+    m = B * P
+    canonV, payload, hv, ok, flat = _batch_records(codes, valid, row0, cfg)
+    okf = ok.reshape(-1)
+    part = jnp.searchsorted(highs, hv.reshape(-1), side="left").astype(U32)
+    part = jnp.where(okf, part, U32(n_parts))  # invalid -> own tail part
+    wordsf = jnp.where(
+        okf[:, None], canonV.reshape(m, w), SENTINEL_WORD
     )
+    payf = jnp.where(okf, payload.reshape(-1) | (U32(1) << 17), U32(0))
+    posf = flat.reshape(-1)
+
+    cols = jax.lax.sort(
+        (part,)
+        + tuple(wordsf[:, i] for i in range(w))
+        + (payf, posf),
+        num_keys=1,
+    )
+    partS = cols[0]
+    wS = jnp.stack(cols[1 : 1 + w], axis=-1)
+    payS, posS = cols[1 + w], cols[2 + w]
+    counts = jnp.sum(
+        partS[None, :] == jnp.arange(n_parts, dtype=U32)[:, None],
+        axis=1,
+        dtype=jnp.int32,
+    )
+    starts = jnp.cumsum(counts) - counts
+
+    # pad so every fixed-size slice below is in bounds (start <= m)
+    wS = jnp.concatenate(
+        [wS, jnp.full((part_cap, w), SENTINEL_WORD, U32)]
+    )
+    payS = jnp.concatenate([payS, jnp.zeros(part_cap, U32)])
+    posS = jnp.concatenate([posS, jnp.zeros(part_cap, U32)])
+    live_i = jnp.arange(part_cap, dtype=jnp.int32)
+    out_w, out_pay, out_pos = [], [], []
+    for r in range(n_parts):
+        live = live_i < counts[r]
+        sl_w = jax.lax.dynamic_slice(
+            wS, (starts[r], jnp.int32(0)), (part_cap, w)
+        )
+        out_w.append(jnp.where(live[:, None], sl_w, SENTINEL_WORD))
+        sl_pay = jax.lax.dynamic_slice(payS, (starts[r],), (part_cap,))
+        out_pay.append(jnp.where(live, sl_pay, U32(0)))
+        sl_pos = jax.lax.dynamic_slice(posS, (starts[r],), (part_cap,))
+        out_pos.append(jnp.where(live, sl_pos, U32(0)))
+    return (
+        jnp.stack(out_w),
+        jnp.stack(out_pay),
+        jnp.stack(out_pos),
+        counts,
+    )
+
+
+@partial(jax.jit, static_argnames=("buf_slots",))
+def assemble_round(r, parts_w, parts_pay, parts_pos, *, buf_slots):
+    """Concatenate round r's fixed-cap part blocks from every batch into
+    one sentinel-padded sort buffer (a single program for all rounds)."""
+    take = lambda parts: [
+        jax.lax.dynamic_index_in_dim(p, r, axis=0, keepdims=False)
+        for p in parts
+    ]
+    ws = jnp.concatenate(take(parts_w))
+    pays = jnp.concatenate(take(parts_pay))
+    poss = jnp.concatenate(take(parts_pos))
+    pad = buf_slots - ws.shape[0]
+    if pad:
+        ws = jnp.concatenate(
+            [ws, jnp.full((pad, ws.shape[1]), SENTINEL_WORD, U32)]
+        )
+        pays = jnp.concatenate([pays, jnp.zeros(pad, U32)])
+        poss = jnp.concatenate([poss, jnp.zeros(pad, U32)])
+    return ws, pays, poss
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -341,6 +428,151 @@ def judge_records_chunked(sw, pay, abundance, check_abundance: bool):
     return keep_first, keep, ids, n_groups, n_junc, n_occ
 
 
+_JUDGE_OPS = ("or", "satadd_u16x2", "add")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("check_abundance", "chunk"),
+    donate_argnums=(0, 1, 2),
+)
+def judge_compact_fused(sw, pay, pos, abundance, *, check_abundance, chunk):
+    """Whole-round judge + compaction as ONE dispatched program.
+
+    Semantics identical to judge_records_chunked +
+    compact_words_chunked + compact_flagged_chunked (tested equal), but
+    the host-looped chunk programs become lax.scan steps — per-round
+    host interaction drops from ~60 dispatches + whole-buffer fetches
+    to one dispatch + exact-slice fetches. Per-step footprint stays at
+    `chunk` rows so the remote XLA compiler never sees a multi-million
+    element scan/sort.
+
+    Returns (table_buf (m+chunk, w) junction k-mers packed at the
+    front, occ_pos_buf, occ_id_buf (m+chunk,) occurrence records packed
+    at the front in k-mer order, n_groups, n_junc, n_occ).
+    """
+    from twopaco_tpu.ops import segments as sg
+
+    m, w = sw.shape
+    n_chunks = m // chunk
+    swc = sw.reshape(n_chunks, chunk, w)
+    payc = pay.reshape(n_chunks, chunk)
+    posc = pos.reshape(n_chunks, chunk)
+
+    def fwd(carry, inp):
+        prev_row, carries = carry
+        swk, payk = inp
+        prev_w = jnp.concatenate([prev_row[None, :], swk[:-1]])
+        ng = jnp.any(swk != prev_w, axis=-1)
+        in_code = payk & U32(0xFF)
+        out_code = (payk >> 8) & U32(0xFF)
+        ext_bits = jnp.where(
+            in_code < 4, U32(1) << in_code, U32(0)
+        ) | jnp.where(out_code < 4, U32(1) << (out_code + 8), U32(0))
+        n_counts = (in_code == 4).astype(U32) | (
+            (out_code == 4).astype(U32) << 16
+        )
+        ones = jnp.ones(chunk, U32)
+        p, carries_out = sg._fwd_chunk(
+            (ext_bits, n_counts, ones), ng, carries, ops=_JUDGE_OPS
+        )
+        return (swk[-1], carries_out), (ng,) + p
+
+    init = (~sw[0], (U32(0), U32(0), U32(0)))
+    _, fwd_out = jax.lax.scan(fwd, init, (swc, payc))
+    ngs, p_bits, p_counts, p_size = fwd_out
+
+    def bwd(carry, inp):
+        next_carries, next_cont = carry
+        pb, pc, ps, ng = inp
+        fin, carry_prev, cont_prev = sg._bwd_chunk(
+            (pb, pc, ps), ng, next_carries, next_cont, ops=_JUDGE_OPS
+        )
+        return (carry_prev, cont_prev), fin
+
+    init_b = (
+        (p_bits[-1, -1], p_counts[-1, -1], p_size[-1, -1]),
+        jnp.asarray(False),
+    )
+    _, (bits, counts, size) = jax.lax.scan(
+        bwd, init_b, (p_bits, p_counts, p_size, ngs), reverse=True
+    )
+
+    def popcount4(x):
+        return (
+            (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
+        ).astype(jnp.int32)
+
+    tab_buf0 = jnp.full((m + chunk, w), SENTINEL_WORD, U32)
+    op_buf0 = jnp.zeros(m + chunk, U32)
+    oi_buf0 = jnp.zeros(m + chunk, jnp.int32)
+    idx = jnp.arange(chunk, dtype=U32)
+
+    def fin(carry, inp):
+        rank_c, tg, tj, to, tab_buf, op_buf, oi_buf, off_t, off_o = carry
+        swk, payk, posk, ngk, bitsk, countsk, sizek = inp
+        is_rc = ((payk >> 16) & U32(1)) > 0
+        real = ((payk >> 17) & U32(1)) > 0
+        n_in = (countsk & U32(0xFFFF)).astype(jnp.int32)
+        n_out = (countsk >> 16).astype(jnp.int32)
+        indeg = popcount4(bitsk & U32(0xF)) + n_in
+        outdeg = popcount4((bitsk >> 8) & U32(0xF)) + n_out
+        keep = ((indeg > 1) | (outdeg > 1)) & real
+        if check_abundance:
+            keep = keep & (sizek.astype(jnp.uint64) <= abundance)
+        keep_first = ngk & keep
+        rank = jnp.cumsum(keep_first.astype(jnp.int32)) + rank_c
+        ids = jnp.where(keep, jnp.where(is_rc, -rank, rank), 0)
+
+        # stable partitions: kept rows first, order preserved; each
+        # chunk's junk tail is overwritten by the next chunk's write
+        # (and never read past the final totals)
+        cols = jax.lax.sort(
+            ((~keep_first).astype(U32), idx)
+            + tuple(swk[:, i] for i in range(w)),
+            num_keys=2,
+        )
+        cnt_t = jnp.sum(keep_first, dtype=jnp.int32)
+        tab_buf = jax.lax.dynamic_update_slice(
+            tab_buf, jnp.stack(cols[2:], axis=-1), (off_t, jnp.int32(0))
+        )
+        cols2 = jax.lax.sort(
+            ((~keep).astype(U32), idx, posk, ids), num_keys=2
+        )
+        cnt_o = jnp.sum(keep, dtype=jnp.int32)
+        op_buf = jax.lax.dynamic_update_slice(op_buf, cols2[2], (off_o,))
+        oi_buf = jax.lax.dynamic_update_slice(oi_buf, cols2[3], (off_o,))
+        carry = (
+            rank[-1],
+            tg + jnp.sum(ngk & real, dtype=jnp.int64),
+            tj + cnt_t.astype(jnp.int64),
+            to + cnt_o.astype(jnp.int64),
+            tab_buf,
+            op_buf,
+            oi_buf,
+            off_t + cnt_t,
+            off_o + cnt_o,
+        )
+        return carry, None
+
+    init_f = (
+        jnp.int32(0),
+        jnp.int64(0),
+        jnp.int64(0),
+        jnp.int64(0),
+        tab_buf0,
+        op_buf0,
+        oi_buf0,
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    carry, _ = jax.lax.scan(
+        fin, init_f, (swc, payc, posc, ngs, bits, counts, size)
+    )
+    _r, n_groups, n_junc, n_occ, tab_buf, op_buf, oi_buf, _t, _o = carry
+    return tab_buf, op_buf, oi_buf, n_groups, n_junc, n_occ
+
+
 @jax.jit
 def _compact_chunk2(flag, a, b):
     """Stable partition of one chunk: flagged rows first (2-key sort)."""
@@ -380,7 +612,10 @@ def compact_flagged_chunked(flag, col_a, col_b, total: int):
         buf_a, buf_b = _append2(buf_a, buf_b, a, b, jnp.int32(offset))
         offset += int(cnt)
     assert offset == total, (offset, total)
-    return np.asarray(buf_a)[:total], np.asarray(buf_b)[:total]
+    # fetch a pow2-bucketed slice, not the whole buffer (the tunnel is
+    # ~40-64 MB/s; whole-buffer fetches dominated round time)
+    cap = _bucket_cap(total, buf_len)
+    return np.asarray(buf_a[:cap])[:total], np.asarray(buf_b[:cap])[:total]
 
 
 @jax.jit
@@ -416,7 +651,80 @@ def compact_words_chunked(flag, words, total: int) -> np.ndarray:
         buf = _append_words(buf, wc, jnp.int32(offset))
         offset += int(cnt)
     assert offset == total, (offset, total)
-    return np.asarray(buf)[:total]
+    cap = _bucket_cap(total, buf_len)
+    return np.asarray(buf[:cap])[:total]
+
+
+def _stream_round_buffers(dev_batches, low, high, buf_slots, cfg, *, single):
+    """Build one round's sentinel-padded sort buffers by re-streaming the
+    resident window batches through build_sort_records (the analogue of
+    the reference re-streaming FASTA per round,
+    vertexenumerator.h:228-392). Used when records don't fit the
+    resident-parts HBM budget, or in single-round mode (where no
+    per-round rebuild happens anyway)."""
+    low_d, high_d = jnp.uint32(low), jnp.uint32(high)
+    buf_w = jnp.full((buf_slots, cfg.w), SENTINEL_WORD, U32)
+    buf_pay = jnp.zeros(buf_slots, U32)
+    buf_pos = jnp.zeros(buf_slots, U32)
+    if single:
+        # direct whole-batch appends: rows land at row0*P <= n_slots -
+        # B*P <= buf_slots - B*P, never clamped — no compaction needed
+        for codes_d, valid_d, row0 in dev_batches:
+            words, payload, pos = build_sort_records(
+                codes_d, valid_d, jnp.uint32(row0), low_d, high_d,
+                cfg=cfg,
+            )
+            buf_w, buf_pay, buf_pos = append_records(
+                buf_w, buf_pay, buf_pos, words, payload, pos,
+                jnp.int32(row0 * cfg.P),
+            )
+        return buf_w, buf_pay, buf_pos
+    pend = []
+    for codes_d, valid_d, row0 in dev_batches:
+        words, payload, pos = build_sort_records(
+            codes_d, valid_d, jnp.uint32(row0), low_d, high_d, cfg=cfg
+        )
+        pend.append(
+            compact_batch_records(words, payload, pos, cap=cfg.B * cfg.P)
+        )
+    # one fetch for all counts instead of a sync per batch
+    all_counts = np.asarray(jnp.stack([cnt for *_x, cnt in pend]))
+    offset = 0
+    for (cw, cp, cpos, _c), cnt in zip(pend, all_counts):
+        cnt = int(cnt)
+        if offset + cnt > buf_slots - cfg.B * cfg.P:
+            raise RuntimeError(
+                "round record buffer overflow — increase rounds (-r) "
+                "or PipelineConfig.round_slack"
+            )
+        # always append the full fixed-size block (ONE compiled append
+        # program); the sentinel tail beyond cnt is overwritten by the
+        # next append or stays sentinel
+        buf_w, buf_pay, buf_pos = append_records(
+            buf_w, buf_pay, buf_pos, cw, cp, cpos, jnp.int32(offset)
+        )
+        offset += cnt
+    return buf_w, buf_pay, buf_pos
+
+
+def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
+    """Judge + compact one sorted round on device (single dispatch),
+    then fetch exactly-bucketed slices. Returns host arrays
+    (table (n_junc, w) k-mer order, occ_pos/occ_ids (n_occ,) by
+    position) + (n_groups, n_junc, n_occ) ints."""
+    tab_buf, op_buf, oi_buf, n_groups, n_junc, n_occ = judge_compact_fused(
+        sw, pay, pos, abundance, check_abundance=check_ab, chunk=chunk
+    )
+    n_groups, n_junc, n_occ = int(n_groups), int(n_junc), int(n_occ)
+    m = op_buf.shape[0]
+    # fetch pow2-bucketed slices, not whole buffers (tunnel ~40-64 MB/s)
+    cap_t = _bucket_cap(max(n_junc, 1), m)
+    cap_o = _bucket_cap(max(n_occ, 1), m)
+    table = np.asarray(tab_buf[:cap_t])[:n_junc]
+    op = np.asarray(op_buf[:cap_o])[:n_occ]
+    oi = np.asarray(oi_buf[:cap_o])[:n_occ]
+    order = np.argsort(op, kind="stable")  # occurrences by position
+    return table, op[order], oi[order], n_groups, n_junc, n_occ
 
 
 def _input_fingerprint(input_paths, sequences) -> str:
@@ -568,30 +876,95 @@ def build_junctions_sorted(
     capacity = max(1, int((padded_buf - bp) / config.round_slack))
     n_rounds = max(config.rounds, -(-n_slots // capacity))
     bin_pow = 16
+    n_batches = len(batches)
+    check_ab = config.abundance < (1 << 64) - 1
+    abundance_d = jnp.uint64(config.abundance)
+    hist = None
+
+    # resident-parts mode (multi-round): build + partition every record
+    # ONCE into per-batch fixed-cap round blocks held in HBM; each round
+    # is then assemble -> sort -> fused judge/compact. The stream mode
+    # below re-builds records every round (the analogue of the
+    # reference re-streaming FASTA per round, vertexenumerator.h:228) —
+    # kept for inputs whose records exceed the resident byte budget.
+    rec_bytes = 4 * (cfg.w + 2)
+    resident = (
+        n_rounds > 1
+        and int(n_slots * config.round_slack * rec_bytes)
+        <= _RESIDENT_BYTES
+        and os.environ.get("TWOPACO_RESIDENT", "1") != "0"
+    )
     if n_rounds > 1:
-        hist = np.zeros(1 << bin_pow, np.int64)
+        hist_d = None
         for codes_d, valid_d, _r0 in dev_batches:
-            hist += np.asarray(
-                kernels.histogram_vertex_hashes(
-                    codes_d, valid_d, cfg=cfg, bin_pow=bin_pow
-                )
+            h = kernels.histogram_vertex_hashes(
+                codes_d, valid_d, cfg=cfg, bin_pow=bin_pow
             )
+            hist_d = h if hist_d is None else hist_d + h
+        hist = np.asarray(hist_d)
+
+    parts_w = parts_pay = parts_pos = None
+    if resident:
+        # R from the buffer's full capacity (no append headroom needed)
+        n_rounds = max(
+            config.rounds,
+            -(-int(n_slots * config.round_slack) // padded_buf),
+        )
+        for _attempt in range(6):
+            intervals = [
+                iv
+                for iv in _split_rounds(hist, n_rounds, bin_pow)
+                if iv[0] <= iv[1]
+            ]
+            part_cap = -(-int(config.round_slack * bp) // len(intervals))
+            highs = np.asarray([h for _l, h in intervals], np.uint32)
+            assert (np.diff(highs.astype(np.int64)) > 0).all()
+            highs_d = jnp.asarray(highs)
+            pend = [
+                build_and_partition(
+                    codes_d, valid_d, jnp.uint32(row0), highs_d,
+                    cfg=cfg, n_parts=len(intervals), part_cap=part_cap,
+                )
+                for codes_d, valid_d, row0 in dev_batches
+            ]
+            counts = np.asarray(jnp.stack([c for *_x, c in pend]))
+            if (counts <= part_cap).all():
+                break
+            # a batch's round block overflowed its fixed cap (local
+            # k-mer-hash skew): split finer and re-partition
+            del pend
+            n_rounds = -(-n_rounds * 3) // 2
+            log(
+                f"Round block overflow (max {int(counts.max())} > "
+                f"{part_cap}); re-splitting into {n_rounds} rounds"
+            )
+        else:
+            raise RuntimeError(
+                "round block overflow persists after re-splitting — "
+                "raise PipelineConfig.round_slack"
+            )
+        parts_w = tuple(pw for pw, _p, _q, _c in pend)
+        parts_pay = tuple(pp for _w, pp, _q, _c in pend)
+        parts_pos = tuple(pq for _w, _p, pq, _c in pend)
+        del pend, dev_batches  # codes no longer needed on device
+        buf_slots = n_batches * part_cap
+        if buf_slots > JUDGE_CHUNK:
+            buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
+        log(
+            f"Splitting the input kmers set ({len(intervals)} rounds, "
+            f"resident parts, block cap {part_cap})"
+        )
+    elif n_rounds > 1:
         intervals = _split_rounds(hist, n_rounds, bin_pow)
+        buf_slots = padded_buf
         log(f"Splitting the input kmers set ({n_rounds} rounds)")
     else:
         intervals = [(0, 0xFFFFFFFF)]
-    # single round: direct whole-batch appends fill exactly n_slots.
-    # multi-round: compacted appends always write a full B*P block (one
-    # compiled program regardless of batch record count), so the buffer
-    # carries +B*P headroom to keep the last append unclamped. Either
-    # way the buffer pads up to a JUDGE_CHUNK multiple (sentinels) so
-    # the chunked judge/compaction programs stay fixed-size.
-    if len(intervals) == 1:
+        # single round: direct whole-batch appends fill exactly n_slots
+        # (rows land at row0*P <= n_slots - B*P, never clamped)
         buf_slots = n_slots
         if buf_slots > JUDGE_CHUNK:
             buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
-    else:
-        buf_slots = padded_buf
 
     # checkpoint/resume at round boundaries (the reference keeps
     # intermediate files but has no resume, SURVEY.md §5); rounds are
@@ -605,7 +978,7 @@ def build_junctions_sorted(
 
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
-    recycled = None  # previous round's sorted arrays, reused as buffers
+    judge_chunk = min(JUDGE_CHUNK, buf_slots)
     for r, (low, high) in enumerate(intervals):
         restored = ckpt.load_round(r)
         if restored is not None:
@@ -615,87 +988,32 @@ def build_junctions_sorted(
             stats.rounds.append(rstats)
             log(f"Round {r}: restored from checkpoint")
             continue
-        low_d, high_d = jnp.uint32(low), jnp.uint32(high)
         log(f"Round {r}, {low}:{high}")
         t0 = time.time()
-        if recycled is None:
-            buf_w = jnp.full((buf_slots, cfg.w), SENTINEL_WORD, U32)
-            buf_pay = jnp.zeros(buf_slots, U32)
-            buf_pos = jnp.zeros(buf_slots, U32)
-        else:
-            buf_w, buf_pay, buf_pos = reset_buffers(*recycled)
-            recycled = None
-        offset = 0
-        # single round: direct whole-batch appends (rows land at
-        # row0*P <= n_slots - B*P <= buf_slots - B*P, never clamped),
-        # regardless of JUDGE_CHUNK padding on buf_slots
-        if len(intervals) == 1:
-            # single round: append whole batches, no compaction needed
-            for codes_d, valid_d, row0 in dev_batches:
-                words, payload, pos = build_sort_records(
-                    codes_d, valid_d, jnp.uint32(row0), low_d, high_d,
-                    cfg=cfg,
-                )
-                buf_w, buf_pay, buf_pos = append_records(
-                    buf_w, buf_pay, buf_pos, words, payload, pos,
-                    jnp.int32(row0 * cfg.P),
-                )
-        else:
-            pend = []
-            for codes_d, valid_d, row0 in dev_batches:
-                words, payload, pos = build_sort_records(
-                    codes_d, valid_d, jnp.uint32(row0), low_d, high_d,
-                    cfg=cfg,
-                )
-                cw, cp, cpos, cnt = compact_batch_records(
-                    words, payload, pos, cap=cfg.B * cfg.P
-                )
-                pend.append((cw, cp, cpos, cnt))
-            # one fetch for all counts instead of a sync per batch
-            all_counts = np.asarray(
-                jnp.stack([cnt for *_x, cnt in pend])
+        if resident:
+            buf_w, buf_pay, buf_pos = assemble_round(
+                jnp.int32(r), parts_w, parts_pay, parts_pos,
+                buf_slots=buf_slots,
             )
-            for (cw, cp, cpos, _c), cnt in zip(pend, all_counts):
-                cnt = int(cnt)
-                if offset + cnt > buf_slots - cfg.B * cfg.P:
-                    raise RuntimeError(
-                        "round record buffer overflow — increase rounds "
-                        "(-r) or PipelineConfig.round_slack"
-                    )
-                # always append the full fixed-size block (ONE compiled
-                # append program); the sentinel tail beyond cnt is
-                # overwritten by the next append or stays sentinel
-                buf_w, buf_pay, buf_pos = append_records(
-                    buf_w, buf_pay, buf_pos, cw, cp, cpos,
-                    jnp.int32(offset),
-                )
-                offset += cnt
+        else:
+            buf_w, buf_pay, buf_pos = _stream_round_buffers(
+                dev_batches, low, high, buf_slots, cfg,
+                single=len(intervals) == 1,
+            )
         t_build = time.time() - t0
 
         t0 = time.time()
         sw, pay, pos = sort_records(buf_w, buf_pay, buf_pos, w=cfg.w)
-        keep_first, keep, ids, n_groups, n_junc, n_occ = (
-            judge_records_chunked(
-                sw,
-                pay,
-                jnp.uint64(config.abundance),
-                check_abundance=config.abundance < (1 << 64) - 1,
-            )
-        )
-        n_junc, n_occ, n_groups = int(n_junc), int(n_occ), int(n_groups)
         t_sort = time.time() - t0
 
         t0 = time.time()
-        table = compact_words_chunked(keep_first, sw, n_junc)
-        op, oi = compact_flagged_chunked(
-            keep, pos, ids.astype(jnp.int32), n_occ
+        table, op, oi, n_groups, n_junc, n_occ = _finish_round(
+            sw, pay, pos, abundance_d, check_ab, judge_chunk, cfg.w
         )
-        order = np.argsort(op, kind="stable")  # occurrences by position
-        round_occ.append((op[order], oi[order]))
+        round_occ.append((op, oi))
         round_tables.append(table)
-        t_compact = time.time() - t0
-        recycled = (sw, pay, pos)  # reuse next round instead of free+alloc
-        del sw, pay, pos, keep_first, keep, ids
+        t_finish = time.time() - t0
+        del sw, pay, pos
         stats.rounds.append(
             dict(
                 low=low,
@@ -704,14 +1022,18 @@ def build_junctions_sorted(
                 hash_table_size=n_groups,
                 true_junctions=n_junc,
                 false_positives=0,
-                t_fill=t_build,
-                t_mark=t_sort,
-                t_verify=t_compact,
+                # t_build/t_sort are async dispatch walls; t_finish
+                # includes the waits + fetches (the honest per-round
+                # total is their sum; per-phase device attribution
+                # needs a profiler trace, --tpu-profile)
+                t_build=t_build,
+                t_sort=t_sort,
+                t_finish=t_finish,
             )
         )
         log(
-            f"Build\t{t_build:.1f}\nSort+judge\t{t_sort:.1f}\n"
-            f"Compact\t{t_compact:.1f}\nTrue junctions = {n_junc}\n"
+            f"Assemble\t{t_build:.1f}\nSort\t{t_sort:.1f}\n"
+            f"Judge+compact\t{t_finish:.1f}\nTrue junctions = {n_junc}\n"
             f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
         )
         ckpt.save_round(
@@ -719,7 +1041,7 @@ def build_junctions_sorted(
             stats.rounds[-1],
         )
 
-    recycled = None  # release the last round's device buffers
+    parts_w = parts_pay = parts_pos = None  # release resident parts
 
     # ---- merge rounds: global dictionary + id remap --------------------
     t0 = time.time()
