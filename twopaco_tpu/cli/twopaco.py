@@ -65,8 +65,9 @@ def make_parser() -> argparse.ArgumentParser:
         help="Round-boundary checkpoint directory (resume on rerun)",
     )
     p.add_argument(
-        "--tpu-engine", choices=["sort", "bloom"], default="sort",
-        help="Device engine: sort-join (default) or Bloom two-pass",
+        "--tpu-engine", choices=["sort", "bloom", "dist"], default="sort",
+        help="Device engine: sort-join (default), Bloom two-pass, or "
+        "mesh-distributed sort-join over all visible devices",
     )
     p.add_argument(
         "--tpu-layout", choices=["auto", "byte", "bit"], default="auto",

@@ -5,3 +5,4 @@ from twopaco_tpu.parallel.sharded import (
     sharded_fill_step,
     sharded_mark_step,
 )
+from twopaco_tpu.parallel.distpipe import build_junctions_dist

@@ -49,17 +49,30 @@ class SortShardConfig:
         return ((c + 127) // 128) * 128
 
 
-def _route_records(words, payload, pos, scfg: SortShardConfig, cap: int):
+def _route_records(
+    words, payload, pos, scfg: SortShardConfig, cap: int, bounds=None
+):
     """Bucket records by k-mer-prefix owner; returns (send (D, cap, C),
-    overflow) where C = w + 2 stacked uint32 columns."""
+    overflow) where C = w + 2 stacked uint32 columns.
+
+    bounds: optional (D-1,) ascending uint32 quantile boundaries on
+    word0 (from a word-prefix histogram of the actual input) — device d
+    owns word0 in (bounds[d-1], bounds[d]]. Without bounds, ownership is
+    a uniform split of word0 space, which skews on biased genomes (GC
+    content concentrates the first 16 chars)."""
     D = scfg.n_devices
     m = words.shape[0]
     w = words.shape[1]
     real = ((payload >> 17) & U32(1)) > 0
-    # owner = top bits of word0 scaled to D (any D, contiguous ranges)
-    owner = (
-        (words[:, 0].astype(jnp.uint64) * jnp.uint64(D)) >> 32
-    ).astype(jnp.int32)
+    if bounds is None:
+        # owner = top bits of word0 scaled to D (any D, contiguous ranges)
+        owner = (
+            (words[:, 0].astype(jnp.uint64) * jnp.uint64(D)) >> 32
+        ).astype(jnp.int32)
+    else:
+        owner = jnp.searchsorted(
+            bounds, words[:, 0], side="left"
+        ).astype(jnp.int32)
     owner = jnp.where(real, owner, D)
     order = jnp.argsort(owner, stable=True)
     o_s = owner[order]

@@ -191,6 +191,7 @@ def emit_junctions(
     occ_ids: np.ndarray,
     table_len: int,
     P: int,
+    timings: dict | None = None,
 ) -> tuple[int, int]:
     """Pass-4 output, fully vectorized: stub synthesis + separator
     insertion as numpy array ops instead of per-row Python.
@@ -205,6 +206,7 @@ def emit_junctions(
     junction occurrences; occ_ids: their signed ids. Returns
     (records_written, stub_count).
     """
+    t0 = time.time()
     seq_id = np.concatenate([b.seq_id for b in batches]).astype(np.int64)
     pos0 = np.concatenate([b.pos0 for b in batches])
     valid = np.concatenate([b.valid for b in batches]).astype(np.int64)
@@ -243,6 +245,9 @@ def emit_junctions(
     all_flat = all_flat[order]
     all_ids = all_ids[order]
 
+    if timings is not None:
+        timings["emit_stub"] = time.time() - t0
+    t0 = time.time()
     row_of = all_flat // P
     junction_io.write_records_with_separators(
         out_path,
@@ -250,6 +255,8 @@ def emit_junctions(
         (pos0[row_of] - 1 + (all_flat - row_of * P)).astype(np.uint32),
         all_ids,
     )
+    if timings is not None:
+        timings["emit_write"] = time.time() - t0
     return len(all_flat), len(stub_flat)
 
 
@@ -284,6 +291,12 @@ def build_junctions(
 
         return sortpipe.build_junctions_sorted(
             input_paths, config, out_path, sequences, log, checkpoint_dir
+        )
+    if config.engine == "dist":
+        from twopaco_tpu.parallel.distpipe import build_junctions_dist
+
+        return build_junctions_dist(
+            input_paths, config, None, out_path, sequences, log
         )
     cfg = config.pass_config()
     wcfg = config.window_config()

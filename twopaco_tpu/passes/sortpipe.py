@@ -1042,7 +1042,23 @@ def build_junctions_sorted(
         )
 
     parts_w = parts_pay = parts_pos = None  # release resident parts
+    return merge_rounds_and_emit(
+        round_tables, round_occ, batches, cfg, config, out_path, stats,
+        log, t_start,
+    )
 
+
+def merge_rounds_and_emit(
+    round_tables, round_occ, batches, cfg, config, out_path, stats, log,
+    t_start,
+):
+    """Shared tail of every sort-join engine (single-device and
+    distributed): merge per-round junction tables into the global sorted
+    dictionary, remap per-round local ids to global ranks, and emit the
+    junction list (reference pass 4, vertexenumerator.h:856-993).
+
+    round_occ[r] = (occ_pos sorted by position, signed local ids where
+    |id| = 1-based rank into round_tables[r]'s rows)."""
     # ---- merge rounds: global dictionary + id remap --------------------
     t0 = time.time()
     if sum(len(t) for t in round_tables):
@@ -1078,6 +1094,7 @@ def build_junctions_sorted(
     # ---- emit ----------------------------------------------------------
     if out_path is not None:
         t0 = time.time()
+        c0 = time.process_time()
         if all_pos:
             occ_pos = np.concatenate(all_pos)
             occ_ids = np.concatenate(all_ids)
@@ -1087,12 +1104,16 @@ def build_junctions_sorted(
         else:
             occ_pos = np.zeros(0, np.int64)
             occ_ids = np.zeros(0, np.int64)
+        stats.timings["emit_sort"] = time.time() - t0
         occurrences, n_stubs = emit_junctions(
-            out_path, batches, occ_pos, occ_ids, len(table), cfg.P
+            out_path, batches, occ_pos, occ_ids, len(table), cfg.P,
+            timings=stats.timings,
         )
         stats.occurrences = occurrences
         stats.stub_ids = n_stubs
         stats.timings["emit"] = time.time() - t0
+        # wall vs process CPU separates real work from waiting/contention
+        stats.timings["emit_cpu"] = time.process_time() - c0
         log(f"True marks count: {occurrences}")
 
     stats.timings["total"] = time.time() - t_start
