@@ -21,6 +21,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Iterable, TextIO
 
+import numpy as np
+
 from twopaco_tpu import dna
 from twopaco_tpu.io import fasta as fasta_io
 from twopaco_tpu.io import junctions as junction_io
@@ -32,6 +34,16 @@ MAX_JUNCTION_ID = 1 << (ID_POWER - 4)
 _CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
 _REV = {"A": "T", "T": "A", "C": "G", "G": "C"}
 
+# char -> 2-bit code (255 = non-ACGT) for vectorized edge-char gathers
+_CODE_TABLE = np.full(256, 255, np.uint8)
+for _ch, _cd in _CODE.items():
+    _CODE_TABLE[ord(_ch)] = _cd
+
+# DnaChar::ReverseCompliment as a translate table (ambiguity -> 'N')
+_REVCOMP_TABLE = str.maketrans(
+    {chr(b): _REV.get(chr(b), "N") for b in range(256)}
+)
+
 
 def _rev_char(ch: str) -> str:
     """DnaChar::ReverseChar: non-ACGT -> 'N' (dnachar.cpp:55-59)."""
@@ -40,7 +52,7 @@ def _rev_char(ch: str) -> str:
 
 def _revcomp_text(s: str) -> str:
     """DnaChar::ReverseCompliment over text (ambiguity chars -> 'N')."""
-    return "".join(_rev_char(c) for c in reversed(s))
+    return s.translate(_REVCOMP_TABLE)[::-1]
 
 
 def _sign(x: int) -> str:
@@ -239,19 +251,50 @@ class _Gfa2:
             path.clear()
 
 
-def _iter_segments(in_path: str, genomes: list[str], k: int):
-    """Yield per-chromosome segment streams.
+def _run_segment_ids(
+    b_id: np.ndarray,
+    e_id: np.ndarray,
+    bpos: np.ndarray,
+    epos: np.ndarray,
+    text: str,
+    k: int,
+    reserved: int,
+) -> tuple[np.ndarray, int]:
+    """Vectorized _SegmentNamer.segment_id over one chromosome's
+    consecutive-junction pairs (graphdump.cpp:42-113 semantics exactly;
+    see the class above for the scalar statement of the rules)."""
+    codes = np.frombuffer(text.encode("latin-1"), np.uint8)
+    absb, abse = np.abs(b_id), np.abs(e_id)
+    if len(absb) and max(int(absb.max()), int(abse.max())) >= MAX_JUNCTION_ID:
+        raise RuntimeError("A vertex id is too large, cannot generate GFA")
+    use_pos = (absb < abse) | ((absb == abse) & (b_id > 0))
+    pos_code = _CODE_TABLE[codes[bpos + k]]
+    ecode = _CODE_TABLE[codes[epos - 1]]
+    neg_code = np.where(ecode < 4, 3 - ecode, 255).astype(np.uint8)
+    edge_code = np.where(use_pos, pos_code, neg_code)
+    base = np.where(use_pos, b_id, -e_id)
+    is_res = edge_code > 3
+    seg = (
+        edge_code.astype(np.int64)
+        | np.where(base < 0, 4, 0)
+        | (np.abs(base) << 3)
+    )
+    seg = np.where(b_id != base, -seg, seg)
+    seg = np.where(is_res, reserved + np.cumsum(is_res) - 1, seg)
+    return seg, reserved + int(is_res.sum())
 
-    Yields tuples (event, payload):
-      ('chr', (seq_id, chr_text))
-      ('seg', (seg_id, seg_size, begin_pos, end_pos, body_slice))
-    following GenerateGfaOutput's lockstep walk (graphdump.cpp:377-478).
-    """
-    namer = _SegmentNamer()
+
+def _iter_chr_segments(in_path: str, genomes: list[str], k: int):
+    """Yield (seq_id, chr_text, seg_id, seg_size, bpos, epos) per
+    chromosome appearing in the junction list — the vectorized
+    equivalent of GenerateGfaOutput's lockstep walk
+    (graphdump.cpp:377-478). The arrays cover the chromosome's
+    consecutive-junction segments in stream order (may be empty)."""
     chr_iter = fasta_io.read_sequences_text(genomes)
     c, pos, ids = junction_io.read_junctions(in_path)
     if len(c) == 0:
         return
+    pos = pos.astype(np.int64)
     # Sequences shorter than k emit no junction records, so chromosome
     # ids in the binary may skip values; advance the text reader in
     # lockstep. (The reference graphdump instead throws 'The input is
@@ -267,21 +310,42 @@ def _iter_segments(in_path: str, genomes: list[str], k: int):
             chr_text = next(chr_iter)
             seq_id += 1
 
-    advance_to(int(c[0]))
-    yield "chr", (seq_id, chr_text)
-    begin = (int(c[0]), int(pos[0]), int(ids[0]))
-    for i in range(1, len(c)):
-        end = (int(c[i]), int(pos[i]), int(ids[i]))
-        if begin[0] == end[0]:
-            pos_edge = chr_text[begin[1] + k]
-            neg_edge = _rev_char(chr_text[end[1] - 1])
-            seg_id = namer.segment_id(begin[2], end[2], pos_edge, neg_edge)
-            seg_size = end[1] + k - begin[1]
-            yield "seg", (seg_id, seg_size, begin[1], end[1])
-        else:
-            advance_to(end[0])
-            yield "chr", (seq_id, chr_text)
-        begin = end
+    runs = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    bounds = np.append(runs, len(c))
+    reserved = RESERVED_START
+    for ri in range(len(runs)):
+        s, e = int(bounds[ri]), int(bounds[ri + 1])
+        advance_to(int(c[s]))
+        b_id, e_id = ids[s : e - 1], ids[s + 1 : e]
+        bpos, epos = pos[s : e - 1], pos[s + 1 : e]
+        seg, reserved = _run_segment_ids(
+            b_id, e_id, bpos, epos, chr_text, k, reserved
+        )
+        yield seq_id, chr_text, seg, epos + k - bpos, bpos, epos
+
+
+class _ChunkedWriter:
+    """Append-and-join buffer: turns millions of small write() calls
+    into a few large ones (the syscall/TextIO overhead dominates GFA
+    generation at Gbase scale otherwise)."""
+
+    def __init__(self, out: TextIO, limit: int = 1 << 22):
+        self.out = out
+        self.parts: list[str] = []
+        self.size = 0
+        self.limit = limit
+
+    def write(self, s: str) -> None:
+        self.parts.append(s)
+        self.size += len(s)
+        if self.size >= self.limit:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.parts:
+            self.out.write("".join(self.parts))
+            self.parts.clear()
+            self.size = 0
 
 
 def generate_gfa(
@@ -297,35 +361,31 @@ def generate_gfa(
     g.header(out)
     g.list_input_sequences(names, file_of, out)
 
+    w = _ChunkedWriter(out)
     seen: set[int] = set()
     path: list[int] = []
-    chr_text = ""
-    seq_id = 0
-    prev_seg = 0
-    prev_size = -1
-    for event, payload in _iter_segments(in_path, genomes, k):
-        if event == "chr":
-            if path:
-                g.flush_path(path, names[seq_id], k, out)
-            seq_id, chr_text = payload
-            prev_seg = 0
-        else:
-            seg_id, seg_size, bpos, epos = payload
-            path.append(seg_id)
-            if abs(seg_id) not in seen:
-                body = chr_text[bpos : epos + k]
-                if seg_id < 0:
+    for seq_id, chr_text, seg, ssz, sbp, sep in _iter_chr_segments(
+        in_path, genomes, k
+    ):
+        name, clen = names[seq_id], lengths[seq_id]
+        prev_seg, prev_size = 0, -1
+        for sid, sz, bp, ep in zip(
+            seg.tolist(), ssz.tolist(), sbp.tolist(), sep.tolist()
+        ):
+            path.append(sid)
+            a = -sid if sid < 0 else sid
+            if a not in seen:
+                seen.add(a)
+                body = chr_text[bp : ep + k]
+                if sid < 0:
                     body = _revcomp_text(body)
-                g.segment(seg_id, seg_size, body, out)
-                seen.add(abs(seg_id))
-            g.occurrence(
-                seg_id, seg_size, names[seq_id], lengths[seq_id],
-                bpos, epos, k, out,
-            )
+                g.segment(sid, sz, body, w)
+            g.occurrence(sid, sz, name, clen, bp, ep, k, w)
             if prev_seg != 0:
-                g.edge(prev_seg, prev_size, seg_id, seg_size, k, out)
-            prev_seg, prev_size = seg_id, seg_size
-    g.flush_path(path, names[seq_id], k, out)
+                g.edge(prev_seg, prev_size, sid, sz, k, w)
+            prev_seg, prev_size = sid, sz
+        g.flush_path(path, name, k, w)
+    w.flush()
 
 
 def generate_fasta(
@@ -334,18 +394,25 @@ def generate_fasta(
     """Each distinct segment once, 80-column wrapped
     (graphdump.cpp:499-582)."""
     seen: set[int] = set()
-    chr_text = ""
-    for event, payload in _iter_segments(in_path, genomes, k):
-        if event == "chr":
-            _sid, chr_text = payload
-        else:
-            seg_id, seg_size, bpos, epos = payload
-            if abs(seg_id) in seen:
+    w = _ChunkedWriter(out)
+    for _sid_chr, chr_text, seg, _ssz, sbp, sep in _iter_chr_segments(
+        in_path, genomes, k
+    ):
+        for sid, bp, ep in zip(
+            seg.tolist(), sbp.tolist(), sep.tolist()
+        ):
+            a = -sid if sid < 0 else sid
+            if a in seen:
                 continue
-            seen.add(abs(seg_id))
-            body = chr_text[bpos : epos + k]
-            if seg_id < 0:
+            seen.add(a)
+            body = chr_text[bp : ep + k]
+            if sid < 0:
                 body = _revcomp_text(body)
-            out.write(f">{abs(seg_id)}\n")
-            for j in range(0, len(body), 80):
-                out.write(body[j : j + 80] + "\n")
+            w.write(f">{a}\n")
+            w.write(
+                "\n".join(
+                    body[j : j + 80] for j in range(0, len(body), 80)
+                )
+                + "\n"
+            )
+    w.flush()
