@@ -82,3 +82,19 @@ def test_lex_less_eq():
     np.testing.assert_array_equal(
         np.asarray(pack.lex_eq(a, b)), [False, True, False]
     )
+
+
+def test_transfer_pack_roundtrip():
+    """pack_codes_host/unpack_codes must be lossless for codes 0..4 at
+    any row length (including R not a multiple of 16 or 32)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from twopaco_tpu.ops import pack as p
+
+    rng = np.random.default_rng(0)
+    for R in (1, 15, 16, 17, 31, 32, 33, 130, 2048 + 26):
+        codes = rng.integers(0, 5, size=(3, R)).astype(np.uint8)
+        packed, nmask = p.pack_codes_host(codes)
+        assert packed.dtype == np.uint32 and nmask.dtype == np.uint32
+        out = np.asarray(p.unpack_codes(jnp.asarray(packed), jnp.asarray(nmask), R))
+        np.testing.assert_array_equal(out, codes)

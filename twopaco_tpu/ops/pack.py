@@ -144,6 +144,57 @@ def prepend_char(words: jnp.ndarray, k: int, code: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out, axis=-1)
 
 
+# ---- host->device transfer packing ----------------------------------
+#
+# Window batches travel to the device 2-bit packed plus an N bitmask
+# (2.25 bits/char instead of 8): the tunnel/H2D link and HBM residency
+# are the bottleneck at Gbase scale, and every kernel re-packs codes
+# into 16-char words anyway (pack16), so the uint8 form is purely a
+# transfer format. Codes are 0..4 after FASTA validation (dna.py), so
+# the round-trip is lossless.
+
+
+def pack_codes_host(codes) -> tuple:
+    """(B, R) uint8 host codes (0..4, 4 = N/pad) -> (packed (B,
+    ceil(R/16)) uint32 2-bit chars little-first, nmask (B, ceil(R/32))
+    uint32 bitmask of N chars)."""
+    import numpy as np
+
+    B, R = codes.shape
+    RW = (R + 15) // 16
+    c = np.zeros((B, RW * 16), np.uint32)
+    c[:, :R] = codes
+    isn = c >= 4
+    two = np.where(isn, 0, c).reshape(B, RW, 16)
+    sh = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    packed = np.bitwise_or.reduce(two << sh, axis=2).astype(np.uint32)
+    NW = (R + 31) // 32
+    nb = np.zeros((B, NW * 32), bool)
+    nb[:, :R] = isn[:, :R]
+    nmask = np.ascontiguousarray(
+        np.packbits(nb.reshape(B, NW, 32), axis=2, bitorder="little")
+    ).view(np.uint32)[..., 0]
+    return packed, nmask
+
+
+def unpack_codes(packed: jnp.ndarray, nmask: jnp.ndarray, R: int) -> jnp.ndarray:
+    """Device inverse of pack_codes_host -> (B, R) uint8 codes."""
+    B = packed.shape[0]
+    sh = (jnp.arange(16, dtype=U32) * 2)[None, None, :]
+    codes = ((packed[:, :, None] >> sh) & U32(3)).reshape(B, -1)[:, :R]
+    bit = jnp.arange(32, dtype=U32)[None, None, :]
+    isn = ((nmask[:, :, None] >> bit) & U32(1)).reshape(B, -1)[:, :R]
+    return jnp.where(isn > 0, U32(4), codes).astype(jnp.uint8)
+
+
+def as_codes(codes, R: int) -> jnp.ndarray:
+    """Accept either raw (B, R) uint8 codes or the packed (packed,
+    nmask) pair; kernels call this at entry so both forms work."""
+    if isinstance(codes, (tuple, list)):
+        return unpack_codes(codes[0], codes[1], R)
+    return codes
+
+
 def window_all_definite(codes: jnp.ndarray, k: int, n_out: int) -> jnp.ndarray:
     """True where chars [j, j+k) are all < 4 (ACGT), for j in 0..n_out-1.
 

@@ -45,6 +45,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from twopaco_tpu.io import fasta as fasta_io
 from twopaco_tpu.io import windows
+from twopaco_tpu.ops import pack
 from twopaco_tpu.parallel.sortshard import SortShardConfig, _route_records
 from twopaco_tpu.passes import kernels, sortpipe
 from twopaco_tpu.passes.pipeline import (
@@ -286,7 +287,12 @@ def build_junctions_dist(
 
     put = multihost.make_put(mesh)
     dev_batches = [
-        (put(b.codes), put(b.valid), b.row0) for b in batches
+        (
+            tuple(put(a) for a in pack.pack_codes_host(b.codes)),
+            put(b.valid),
+            b.row0,
+        )
+        for b in batches
     ]
 
     # measurement passes: round intervals (vertex-hash mass) + routing

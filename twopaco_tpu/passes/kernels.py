@@ -138,6 +138,7 @@ def fill_indices(codes, valid, low, high_incl, cfg: PassConfig):
         interval (:1066-1072).
     """
     k, P = cfg.k, cfg.P
+    codes = pack.as_codes(codes, P + k + 1)
     tabs = _tables(cfg)
     state = _hash_state(codes, cfg, P + 2)  # offsets 0..P+1
     def_all = pack.window_all_definite(codes, k, P + 2)
@@ -191,6 +192,7 @@ def mark_indices(codes, valid, low, high_incl, cfg: PassConfig):
     Probe slots 0..3 are in-edges c·V, 4..7 out-edges V·c for c=A,C,G,T.
     """
     k, P = cfg.k, cfg.P
+    codes = pack.as_codes(codes, P + k + 1)
     tabs = _tables(cfg)
     state = _hash_state(codes, cfg, P + 1)  # offsets 0..P
     def_all = pack.window_all_definite(codes, k, P + 1)
@@ -291,6 +293,7 @@ def extract_records(codes, packed_mask, *, cfg: PassConfig, cap: int):
     executables exist across batches.
     """
     k, P, B = cfg.k, cfg.P, cfg.B
+    codes = pack.as_codes(codes, P + k + 1)
     mask = unpack_mask(packed_mask, P)
     _, _, _, V, rcV, _, prev, nxt = _vertex_views(codes, cfg)
     canonV, is_rc = pack.canonical(V, rcV)
@@ -375,6 +378,7 @@ def pass4_lookup(codes, packed_mask, valid, table, *, cfg: PassConfig, cap: int)
     flat positions (row*P + col) of found junctions only.
     """
     k, P, B = cfg.k, cfg.P, cfg.B
+    codes = pack.as_codes(codes, P + k + 1)
     if table.shape[0] == 0:  # nothing to find; only stubs exist
         return (
             jnp.full(cap, B * P, jnp.int32),
@@ -424,6 +428,7 @@ def histogram_vertex_hashes(codes, valid, *, cfg: PassConfig, bin_pow: int = 16)
     """Per-bin counts of canonical vertex hashes (multi-round splitting;
     reference InitialFilterFillerWorker, vertexenumerator.h:503-583)."""
     P = cfg.P
+    codes = pack.as_codes(codes, P + cfg.k + 1)
     hf, hr = bz.window_hashes(
         *bz.hash_scans(codes, bz.TABLE_1), cfg.k, P + 1
     )

@@ -34,6 +34,7 @@ from twopaco_tpu.io import fasta as fasta_io
 from twopaco_tpu.io import junctions as junction_io
 from twopaco_tpu.io import windows
 from twopaco_tpu.ops import bloom
+from twopaco_tpu.ops import pack
 from twopaco_tpu.passes import kernels
 
 INVALID_VERTEX = (1 << 63) - 1
@@ -237,13 +238,11 @@ def emit_junctions(
         + STUB_ID_OFFSET
     )
 
-    all_flat = np.concatenate([occ_pos, stub_flat])
-    all_ids = np.concatenate(
-        [occ_ids.astype(np.int64, copy=False), stub_ids]
-    )
-    order = np.argsort(all_flat, kind="stable")
-    all_flat = all_flat[order]
-    all_ids = all_ids[order]
+    # occ_pos and stub_flat are each sorted and disjoint (a stub exists
+    # only where no occurrence does) — a linear merge, not a re-sort
+    ins = np.searchsorted(occ_pos, stub_flat, side="left")
+    all_flat = np.insert(occ_pos, ins, stub_flat)
+    all_ids = np.insert(occ_ids.astype(np.int64, copy=False), ins, stub_ids)
 
     if timings is not None:
         timings["emit_stub"] = time.time() - t0
@@ -319,8 +318,13 @@ def build_junctions(
         f"Capacity = {cfg.w} words\nPositions = {stats.total_positions}"
     )
 
+    # 2-bit packed + N bitmask transfer form (see ops/pack.py)
     dev_batches = [
-        (jnp.asarray(b.codes), jnp.asarray(b.valid)) for b in batches
+        (
+            tuple(map(jnp.asarray, pack.pack_codes_host(b.codes))),
+            jnp.asarray(b.valid),
+        )
+        for b in batches
     ]
 
     # ---- round split (reference InitialFilterFillerWorker analogue) ----

@@ -73,6 +73,7 @@ def _batch_records(codes, valid, row0, cfg):
     (canonical words (B,P,w), payload u32 in|out<<8|is_rc<<16, symmetric
     vertex hash hv (B,P), validity ok (B,P), flat position (B,P))."""
     k, P = cfg.k, cfg.P
+    codes = pack.as_codes(codes, P + k + 1)
     B = codes.shape[0]  # may be cfg.B / n_devices under shard_map
     words_all, rc_all, def_all = kernels._strand_arrays(codes, cfg)
     V = words_all[:, 1 : P + 1]
@@ -108,6 +109,7 @@ def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
     non-definite / out-of-round rows become all-ones sentinels that sort
     to the end.
     """
+    codes = pack.as_codes(codes, cfg.P + cfg.k + 1)
     B, P = codes.shape[0], cfg.P
     canonV, payload, hv, ok, flat = _batch_records(codes, valid, row0, cfg)
     ok = ok & kernels._within(hv, low, high_incl)
@@ -135,6 +137,7 @@ def build_and_partition(codes, valid, row0, highs, *, cfg, n_parts, part_cap):
     counts[r] > part_cap means the fixed cap overflowed (records beyond
     it were dropped) — the caller MUST check and re-partition.
     """
+    codes = pack.as_codes(codes, cfg.P + cfg.k + 1)
     B, P, w = codes.shape[0], cfg.P, cfg.w
     m = B * P
     canonV, payload, hv, ok, flat = _batch_records(codes, valid, row0, cfg)
@@ -655,6 +658,82 @@ def compact_words_chunked(flag, words, total: int) -> np.ndarray:
     return np.asarray(buf[:cap])[:total]
 
 
+@jax.jit
+def _finale(tabs, njs, ops, ois, nos):
+    """Device-side multi-round merge: global dictionary + id remap +
+    occurrence sort in ONE program (the host analogue lives in
+    merge_rounds_and_emit; this replaces it when per-round results are
+    still device-resident — no per-round fetches, no host sorts).
+
+    tabs: per-round (capT_r, w) u32 junction k-mers packed at the front
+          (rows >= njs[r] are junk — masked to sentinel here);
+    njs:  (R,) i32 per-round junction counts;
+    ops/ois: per-round (capO_r,) u32 flat positions / i32 signed local
+          ids (|id| = 1-based rank into round r's table), junk beyond
+          nos[r];
+    nos:  (R,) i32 per-round occurrence counts.
+
+    Returns (table_sorted (MT, w) — first sum(njs) rows are the global
+    k-mer-sorted dictionary, rest sentinel; occ_pos (MO,) u32 and
+    occ_ids (MO,) i32 sorted by position — first sum(nos) rows real).
+
+    Rounds partition the hash space, so round tables are disjoint and
+    the global rank of a row is just its index after one sort; sentinel
+    rows order strictly after any real k-mer because k is odd (an
+    all-ones last word is impossible, see judge_records).
+    """
+    w = tabs[0].shape[1]
+    capsT = [t.shape[0] for t in tabs]
+    offs_np = [0]
+    for c in capsT[:-1]:
+        offs_np.append(offs_np[-1] + c)
+    offs = jnp.asarray(offs_np, jnp.int32)
+
+    words = jnp.concatenate(tabs, 0)
+    rtagT = jnp.concatenate(
+        [jnp.full(c, r, U32) for r, c in enumerate(capsT)]
+    )
+    lrankT = jnp.concatenate(
+        [jnp.arange(c, dtype=U32) for c in capsT]
+    )
+    realT = lrankT < njs[rtagT].astype(U32)
+    wordsS = jnp.where(realT[:, None], words, SENTINEL_WORD)
+    cols = jax.lax.sort(
+        tuple(wordsS[:, i] for i in range(w)) + (rtagT, lrankT),
+        num_keys=w,
+    )
+    table_sorted = jnp.stack(cols[:w], axis=-1)
+    M = words.shape[0]
+    flat = offs[cols[w].astype(jnp.int32)] + cols[w + 1].astype(jnp.int32)
+    flat = jax.lax.optimization_barrier(flat)
+    remap = (
+        jnp.zeros(M, jnp.int32)
+        .at[flat]
+        .set(jnp.arange(M, dtype=jnp.int32), mode="promise_in_bounds")
+    )
+
+    capsO = [o.shape[0] for o in ops]
+    opc = jnp.concatenate(ops)
+    oic = jnp.concatenate(ois)
+    rtagO = jnp.concatenate(
+        [jnp.full(c, r, jnp.int32) for r, c in enumerate(capsO)]
+    )
+    lidxO = jnp.concatenate(
+        [jnp.arange(c, dtype=jnp.int32) for c in capsO]
+    )
+    realO = lidxO < nos[rtagO]
+    a = jnp.where(realO, offs[rtagO] + (jnp.abs(oic) - 1), 0)
+    a = jax.lax.optimization_barrier(a)
+    grank = remap[a]
+    gid = jnp.where(oic < 0, -(grank + 1), grank + 1)
+    gid = jnp.where(realO, gid, 0)
+    opS = jnp.where(realO, opc, U32(0xFFFFFFFF))
+    cols2 = jax.lax.sort(
+        ((~realO).astype(U32), opS, gid), num_keys=2
+    )
+    return table_sorted, cols2[1], cols2[2]
+
+
 def _stream_round_buffers(dev_batches, low, high, buf_slots, cfg, *, single):
     """Build one round's sentinel-padded sort buffers by re-streaming the
     resident window batches through build_sort_records (the analogue of
@@ -854,8 +933,14 @@ def build_junctions_sorted(
         f"Record slots = {n_slots}\nCapacity = {cfg.w} words"
     )
 
+    # upload 2-bit packed + N bitmask (2.25 bits/char): H2D volume and
+    # HBM residency are ~3.6x smaller than raw uint8 codes
     dev_batches = [
-        (jnp.asarray(b.codes), jnp.asarray(b.valid), b.row0)
+        (
+            tuple(map(jnp.asarray, pack.pack_codes_host(b.codes))),
+            jnp.asarray(b.valid),
+            b.row0,
+        )
         for b in batches
     ]
 
@@ -976,9 +1061,59 @@ def build_junctions_sorted(
         checkpoint_dir, config, n_slots, intervals, fingerprint
     )
 
+    # device-resident finale: keep every round's compacted results in
+    # HBM and merge them in one device program (_finale) — no per-round
+    # fetches or host sorts. The rounds pipeline without ANY host sync
+    # (counts are settled in one fetch, bounded by an HBM budget guard).
+    # Checkpointing needs host copies per round, so it takes the
+    # host-merge path instead.
+    device_finale = checkpoint_dir is None
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
+    dev_tabs: list = []
+    dev_ops: list = []
+    dev_ois: list = []
+    njunc_l: list[int] = []
+    nocc_l: list[int] = []
     judge_chunk = min(JUDGE_CHUNK, buf_slots)
+
+    pend_bufs: list = []  # unsettled (tab_buf, op_buf, oi_buf)
+    pend_counts: list = []  # matching (3,) device count vectors
+    pend_stats: list = []  # matching stats.rounds dicts to fill
+    per_round_bytes = (buf_slots + judge_chunk) * 4 * (cfg.w + 2)
+    max_pending = max(1, (4 << 30) // max(per_round_bytes, 1))
+
+    def settle_pending():
+        """Fetch pending rounds' counts (one RPC) and shrink their
+        buffers to bucketed caps, freeing the full-size ones."""
+        if not pend_counts:
+            return
+        counts = np.asarray(jnp.stack(pend_counts))  # (n, 3) int64
+        for (tab_buf, op_buf, oi_buf), cnts, rstats in zip(
+            pend_bufs, counts, pend_stats
+        ):
+            n_groups, n_junc, n_occ = (int(x) for x in cnts)
+            m = op_buf.shape[0]
+            cap_t = _bucket_cap(max(n_junc, 1), m)
+            cap_o = _bucket_cap(max(n_occ, 1), m)
+            dev_tabs.append(tab_buf[:cap_t])
+            dev_ops.append(op_buf[:cap_o])
+            dev_ois.append(oi_buf[:cap_o])
+            njunc_l.append(n_junc)
+            nocc_l.append(n_occ)
+            rstats.update(
+                marks=n_occ,
+                hash_table_size=n_groups,
+                true_junctions=n_junc,
+            )
+            log(
+                f"True junctions = {n_junc}\n"
+                f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
+            )
+        pend_bufs.clear()
+        pend_counts.clear()
+        pend_stats.clear()
+
     for r, (low, high) in enumerate(intervals):
         restored = ckpt.load_round(r)
         if restored is not None:
@@ -1007,11 +1142,20 @@ def build_junctions_sorted(
         t_sort = time.time() - t0
 
         t0 = time.time()
-        table, op, oi, n_groups, n_junc, n_occ = _finish_round(
-            sw, pay, pos, abundance_d, check_ab, judge_chunk, cfg.w
-        )
-        round_occ.append((op, oi))
-        round_tables.append(table)
+        if device_finale:
+            tab_buf, op_buf, oi_buf, g_d, j_d, o_d = judge_compact_fused(
+                sw, pay, pos, abundance_d,
+                check_abundance=check_ab, chunk=judge_chunk,
+            )
+            pend_bufs.append((tab_buf, op_buf, oi_buf))
+            pend_counts.append(jnp.stack([g_d, j_d, o_d]))
+            n_groups = n_junc = n_occ = -1  # settled later
+        else:
+            table, op, oi, n_groups, n_junc, n_occ = _finish_round(
+                sw, pay, pos, abundance_d, check_ab, judge_chunk, cfg.w
+            )
+            round_occ.append((op, oi))
+            round_tables.append(table)
         t_finish = time.time() - t0
         del sw, pay, pos
         stats.rounds.append(
@@ -1022,10 +1166,9 @@ def build_junctions_sorted(
                 hash_table_size=n_groups,
                 true_junctions=n_junc,
                 false_positives=0,
-                # t_build/t_sort are async dispatch walls; t_finish
-                # includes the waits + fetches (the honest per-round
-                # total is their sum; per-phase device attribution
-                # needs a profiler trace, --tpu-profile)
+                # t_build/t_sort/t_finish are async dispatch walls (the
+                # device-finale loop never syncs); per-phase device
+                # attribution needs a profiler trace, --tpu-profile
                 t_build=t_build,
                 t_sort=t_sort,
                 t_finish=t_finish,
@@ -1033,15 +1176,43 @@ def build_junctions_sorted(
         )
         log(
             f"Assemble\t{t_build:.1f}\nSort\t{t_sort:.1f}\n"
-            f"Judge+compact\t{t_finish:.1f}\nTrue junctions = {n_junc}\n"
-            f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
+            f"Judge+compact\t{t_finish:.1f}"
         )
-        ckpt.save_round(
-            r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
-            stats.rounds[-1],
-        )
+        if device_finale:
+            pend_stats.append(stats.rounds[-1])
+            if len(pend_bufs) >= max_pending:
+                settle_pending()
+        else:
+            log(
+                f"True junctions = {n_junc}\n"
+                f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
+            )
+            ckpt.save_round(
+                r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
+                stats.rounds[-1],
+            )
 
     parts_w = parts_pay = parts_pos = None  # release resident parts
+    if device_finale:
+        t0 = time.time()
+        settle_pending()
+        njs_d = jnp.asarray(np.asarray(njunc_l, np.int32))
+        nos_d = jnp.asarray(np.asarray(nocc_l, np.int32))
+        tabS, opS, gidS = _finale(
+            tuple(dev_tabs), njs_d, tuple(dev_ops), tuple(dev_ois), nos_d
+        )
+        del dev_tabs, dev_ops, dev_ois
+        J, TO = int(sum(njunc_l)), int(sum(nocc_l))
+        capJ = _bucket_cap(max(J, 1), tabS.shape[0])
+        capO = _bucket_cap(max(TO, 1), opS.shape[0])
+        table = np.asarray(tabS[:capJ])[:J]
+        occ_pos = np.asarray(opS[:capO])[:TO].astype(np.int64)
+        occ_ids = np.asarray(gidS[:capO])[:TO].astype(np.int64)
+        stats.timings["dict"] = time.time() - t0
+        return finish_emit(
+            table, occ_pos, occ_ids, batches, cfg, config, out_path,
+            stats, log, t_start,
+        )
     return merge_rounds_and_emit(
         round_tables, round_occ, batches, cfg, config, out_path, stats,
         log, t_start,
@@ -1070,8 +1241,6 @@ def merge_rounds_and_emit(
     else:
         table = np.zeros((0, cfg.w), np.uint32)
         global_keys = np.zeros(0, dtype=f"S{4*cfg.w}")
-    stats.distinct_junctions = len(table)
-    enum = Enumerator(table, config.k, stats)
 
     all_pos: list[np.ndarray] = []
     all_ids: list[np.ndarray] = []
@@ -1089,22 +1258,35 @@ def merge_rounds_and_emit(
         # a uint64 array silently falls off the fast path (O(n) per call)
         all_pos.append(op.astype(np.int64))
         all_ids.append(sign * gid)
-    stats.timings["dict"] = time.time() - t0
 
-    # ---- emit ----------------------------------------------------------
+    if all_pos:
+        occ_pos = np.concatenate(all_pos)
+        occ_ids = np.concatenate(all_ids)
+        order = np.argsort(occ_pos, kind="stable")
+        occ_pos = occ_pos[order]
+        occ_ids = occ_ids[order]
+    else:
+        occ_pos = np.zeros(0, np.int64)
+        occ_ids = np.zeros(0, np.int64)
+    stats.timings["dict"] = time.time() - t0
+    return finish_emit(
+        table, occ_pos, occ_ids, batches, cfg, config, out_path, stats,
+        log, t_start,
+    )
+
+
+def finish_emit(
+    table, occ_pos, occ_ids, batches, cfg, config, out_path, stats, log,
+    t_start,
+):
+    """Common tail: build the Enumerator from the merged global table and
+    write the junction list from the position-sorted occurrence stream."""
+    stats.distinct_junctions = len(table)
+    enum = Enumerator(table, config.k, stats)
+
     if out_path is not None:
         t0 = time.time()
         c0 = time.process_time()
-        if all_pos:
-            occ_pos = np.concatenate(all_pos)
-            occ_ids = np.concatenate(all_ids)
-            order = np.argsort(occ_pos, kind="stable")
-            occ_pos = occ_pos[order]
-            occ_ids = occ_ids[order]
-        else:
-            occ_pos = np.zeros(0, np.int64)
-            occ_ids = np.zeros(0, np.int64)
-        stats.timings["emit_sort"] = time.time() - t0
         occurrences, n_stubs = emit_junctions(
             out_path, batches, occ_pos, occ_ids, len(table), cfg.P,
             timings=stats.timings,
