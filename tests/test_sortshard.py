@@ -32,12 +32,15 @@ def test_sharded_sort_step_matches_single_device():
 
     # single-device ground truth
     words, payload, pos = sortpipe.build_sort_records(
-        jnp.asarray(b.codes), jnp.asarray(b.valid), jnp.uint32(0), low, high,
+        jnp.asarray(b.codes), jnp.asarray(b.valid), (jnp.uint32(0),),
+        low, high,
         cfg=cfg,
     )
     sw1, pay1, pos1 = sortpipe.sort_records(
-        words.copy(), payload.copy(), pos.copy(), w=cfg.w
+        words.copy(), payload.copy(), tuple(p.copy() for p in pos),
+        w=cfg.w,
     )
+    pos1 = pos1[0]
     kf1, keep1, ids1, _g1, nj1, no1 = sortpipe.judge_records(
         sw1, pay1, ab, check_abundance=False
     )

@@ -75,7 +75,7 @@ def word0_histogram(codes, valid, *, cfg, bin_pow: int = 16):
     """Histogram of canonical k-mer word0 top bits over one batch — the
     measurement pass behind quantile-balanced routing boundaries."""
     _canonV, _pay, _hv, ok, _flat = sortpipe._batch_records(
-        codes, valid, jnp.uint32(0), cfg
+        codes, valid, (jnp.uint32(0),), cfg
     )
     top = (_canonV[..., 0] >> (32 - bin_pow)).astype(jnp.int32).reshape(-1)
     okf = ok.reshape(-1)
@@ -120,11 +120,11 @@ def _append_fn(buf, cnt, codes, valid, row0, low, high, bounds, *, dcfg):
     my = jax.lax.axis_index("shard")
     r0 = row0 + (my * local_rows).astype(jnp.uint32)
     words, payload, pos = sortpipe.build_sort_records(
-        codes, valid, r0, low, high, cfg=cfg
+        codes, valid, (r0 * U32(cfg.P),), low, high, cfg=cfg
     )
     scfg = SortShardConfig(base=cfg, n_devices=D)
     send, over_route = _route_records(
-        words, payload, pos, scfg, dcfg.route_cap, bounds=bounds
+        words, payload, pos[0], scfg, dcfg.route_cap, bounds=bounds
     )
     recv = jax.lax.all_to_all(
         send, "shard", split_axis=0, concat_axis=0, tiled=False
@@ -166,9 +166,11 @@ def _finish_fn(buf, cnt, abundance, *, dcfg, check_abundance):
     w = cfg.w
     del cnt  # unfilled rows are sentinels already
     sw, pay, pos = sortpipe.sort_records(
-        buf[:, :w] + U32(0), buf[:, w] + U32(0), buf[:, w + 1] + U32(0),
+        buf[:, :w] + U32(0), buf[:, w] + U32(0),
+        (buf[:, w + 1] + U32(0),),
         w=w,
     )
+    pos = pos[0]
     keep_first, keep, ids, _n_groups, n_junc, n_occ = (
         sortpipe.judge_records(
             sw, pay, abundance, check_abundance=check_abundance
@@ -278,6 +280,12 @@ def build_junctions_dist(
     batches = list(windows.iter_window_batches(iter(sequences), wcfg))
     stats.total_positions = sum(int(b.valid.sum()) for b in batches)
     n_slots = len(batches) * cfg.B * cfg.P
+    if n_slots >= 1 << 32:
+        raise ValueError(
+            "distributed engine routes single-column u32 positions; "
+            "inputs beyond ~4.2 Gbases need the single-device sort "
+            "engine (wide positions) for now"
+        )
     log(
         f"Engine = distributed sort-join over {D} devices\n"
         f"Vertex length = {config.k}\nRecord slots = {n_slots}"

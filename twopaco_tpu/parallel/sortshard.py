@@ -88,7 +88,7 @@ def _route_records(
 
     cols = jnp.concatenate(
         [words, payload[:, None], pos[:, None]], axis=1
-    )  # (m, C)
+    )  # (m, C); pos here is the single u32 column (narrow inputs only)
     cols_s = cols[order]
     send = jnp.full((D, cap, w + 2), sortpipe.SENTINEL_WORD, U32)
     # sentinel payload must read as not-real: clear everything but words
@@ -108,7 +108,10 @@ def _local_sort_judge(recv, scfg: SortShardConfig, abundance, check_abundance):
     words = recv[:, :w]
     payload = recv[:, w]
     pos = recv[:, w + 1]
-    sw, pay, spos = sortpipe.sort_records(words + U32(0), payload, pos, w=w)
+    sw, pay, spos = sortpipe.sort_records(
+        words + U32(0), payload, (pos,), w=w
+    )
+    spos = spos[0]
     keep_first, keep, ids, n_groups, n_junc, n_occ = sortpipe.judge_records(
         sw, pay, abundance, check_abundance=check_abundance
     )
@@ -123,9 +126,9 @@ def _step_fn(
     local_rows = cfg.B // scfg.n_devices
     row0 = (jax.lax.axis_index("shard") * local_rows).astype(jnp.uint32)
     words, payload, pos = sortpipe.build_sort_records(
-        codes, valid, row0, low, high, cfg=cfg
+        codes, valid, (row0 * U32(cfg.P),), low, high, cfg=cfg
     )
-    send, overflow = _route_records(words, payload, pos, scfg, cap)
+    send, overflow = _route_records(words, payload, pos[0], scfg, cap)
     recv = jax.lax.all_to_all(
         send, "shard", split_axis=0, concat_axis=0, tiled=False
     ).reshape(-1, cfg.w + 2)

@@ -60,6 +60,33 @@ from twopaco_tpu.passes.pipeline import (
 U32 = jnp.uint32
 SENTINEL_WORD = jnp.uint32(0xFFFFFFFF)
 
+
+# ---- positions -------------------------------------------------------
+#
+# Flat positions (global_row * P + col) travel as a TUPLE of uint32
+# columns: ("lo",) for inputs under 2^32 positions, ("hi", "lo") beyond
+# (the reference's size_t positions, vertexenumerator.h:935-958, have
+# no 4.2 Gbase cliff; TPUs have no cheap native u64, so wide positions
+# are a carry-propagated u32 pair). The tuple length keys the jit trace,
+# so small inputs keep their exact current programs/compile cache.
+
+
+def _pos_base(row0: int, P: int, wide: bool):
+    """Host-exact base = row0 * P as a tuple of u32 device scalars."""
+    base = int(row0) * int(P)
+    if wide:
+        return (jnp.uint32(base >> 32), jnp.uint32(base & 0xFFFFFFFF))
+    return (jnp.uint32(base & 0xFFFFFFFF),)
+
+
+def _host_pos(pos_comps) -> np.ndarray:
+    """Combine fetched position column(s) into one int64 array."""
+    comps = [np.asarray(c) for c in pos_comps]
+    if len(comps) == 1:
+        return comps[0].astype(np.int64)
+    hi, lo = comps
+    return (hi.astype(np.int64) << 32) | lo.astype(np.int64)
+
 # HBM byte budget for resident-parts mode (records kept on device across
 # rounds instead of rebuilt per round). v5e has 16 GB; the round's sort
 # needs ~2x the buffer on top of the parts, so cap the parts well below.
@@ -68,10 +95,12 @@ _RESIDENT_BYTES = int(
 )
 
 
-def _batch_records(codes, valid, row0, cfg):
+def _batch_records(codes, valid, base, cfg):
     """Record columns for every vertex position of one batch (ungated):
     (canonical words (B,P,w), payload u32 in|out<<8|is_rc<<16, symmetric
-    vertex hash hv (B,P), validity ok (B,P), flat position (B,P))."""
+    vertex hash hv (B,P), validity ok (B,P), flat position — a tuple of
+    1 or 2 (B,P) u32 columns, see _pos_base). base = row0*P as u32
+    scalar(s)."""
     k, P = cfg.k, cfg.P
     codes = pack.as_codes(codes, P + k + 1)
     B = codes.shape[0]  # may be cfg.B / n_devices under shard_map
@@ -92,38 +121,45 @@ def _batch_records(codes, valid, row0, cfg):
     in_code = jnp.where(is_rc, kernels._comp4(nxt), prev).astype(U32)
     out_code = jnp.where(is_rc, kernels._comp4(prev), nxt).astype(U32)
     payload = in_code | (out_code << 8) | (is_rc.astype(U32) << 16)
-    flat = (
-        (row0.astype(jnp.uint32) + jnp.arange(B, dtype=jnp.uint32))[:, None]
-        * U32(P)
+    # in-batch offset < B*P (~2M) always fits u32
+    off = (
+        jnp.arange(B, dtype=jnp.uint32)[:, None] * U32(P)
         + jnp.arange(P, dtype=jnp.uint32)[None, :]
     )
+    if len(base) == 1:
+        flat = (base[0] + off,)
+    else:
+        lo = base[1] + off
+        carry = (lo < base[1]).astype(U32)  # u32 wraparound
+        flat = (base[0] + carry, lo)
     return canonV, payload, hv, ok, flat
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def build_sort_records(codes, valid, row0, low, high_incl, *, cfg):
+def build_sort_records(codes, valid, base, low, high_incl, *, cfg):
     """One record per vertex position of the batch.
 
     -> (words (B*P, w) canonical, payload (B*P,) u32 = in | out<<8 |
-    is_rc<<16 | real<<17, pos (B*P,) u32 global flat position). Invalid /
+    is_rc<<16 | real<<17, pos: tuple of 1-2 (B*P,) u32 global flat
+    position columns). base = _pos_base(row0, P, wide). Invalid /
     non-definite / out-of-round rows become all-ones sentinels that sort
     to the end.
     """
     codes = pack.as_codes(codes, cfg.P + cfg.k + 1)
     B, P = codes.shape[0], cfg.P
-    canonV, payload, hv, ok, flat = _batch_records(codes, valid, row0, cfg)
+    canonV, payload, hv, ok, flat = _batch_records(codes, valid, base, cfg)
     ok = ok & kernels._within(hv, low, high_incl)
     words = jnp.where(ok[..., None], canonV, SENTINEL_WORD)
     payload = jnp.where(ok, payload | (U32(1) << 17), U32(0))
     return (
         words.reshape(B * P, cfg.w),
         payload.reshape(-1),
-        flat.reshape(-1),
+        tuple(f.reshape(-1) for f in flat),
     )
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_parts", "part_cap"))
-def build_and_partition(codes, valid, row0, highs, *, cfg, n_parts, part_cap):
+def build_and_partition(codes, valid, base, highs, *, cfg, n_parts, part_cap):
     """Build one batch's records and split them by round in ONE fused
     program: the resident-parts engine builds records once per run
     instead of once per round (the stream engine's re-build is the
@@ -140,7 +176,7 @@ def build_and_partition(codes, valid, row0, highs, *, cfg, n_parts, part_cap):
     codes = pack.as_codes(codes, cfg.P + cfg.k + 1)
     B, P, w = codes.shape[0], cfg.P, cfg.w
     m = B * P
-    canonV, payload, hv, ok, flat = _batch_records(codes, valid, row0, cfg)
+    canonV, payload, hv, ok, flat = _batch_records(codes, valid, base, cfg)
     okf = ok.reshape(-1)
     part = jnp.searchsorted(highs, hv.reshape(-1), side="left").astype(U32)
     part = jnp.where(okf, part, U32(n_parts))  # invalid -> own tail part
@@ -148,17 +184,19 @@ def build_and_partition(codes, valid, row0, highs, *, cfg, n_parts, part_cap):
         okf[:, None], canonV.reshape(m, w), SENTINEL_WORD
     )
     payf = jnp.where(okf, payload.reshape(-1) | (U32(1) << 17), U32(0))
-    posf = flat.reshape(-1)
+    posf = tuple(f.reshape(-1) for f in flat)
+    np_ = len(posf)
 
     cols = jax.lax.sort(
         (part,)
         + tuple(wordsf[:, i] for i in range(w))
-        + (payf, posf),
+        + (payf,)
+        + posf,
         num_keys=1,
     )
     partS = cols[0]
     wS = jnp.stack(cols[1 : 1 + w], axis=-1)
-    payS, posS = cols[1 + w], cols[2 + w]
+    payS, posS = cols[1 + w], cols[2 + w :]
     counts = jnp.sum(
         partS[None, :] == jnp.arange(n_parts, dtype=U32)[:, None],
         axis=1,
@@ -171,9 +209,12 @@ def build_and_partition(codes, valid, row0, highs, *, cfg, n_parts, part_cap):
         [wS, jnp.full((part_cap, w), SENTINEL_WORD, U32)]
     )
     payS = jnp.concatenate([payS, jnp.zeros(part_cap, U32)])
-    posS = jnp.concatenate([posS, jnp.zeros(part_cap, U32)])
+    posS = tuple(
+        jnp.concatenate([p, jnp.zeros(part_cap, U32)]) for p in posS
+    )
     live_i = jnp.arange(part_cap, dtype=jnp.int32)
-    out_w, out_pay, out_pos = [], [], []
+    out_w, out_pay = [], []
+    out_pos = tuple([] for _ in range(np_))
     for r in range(n_parts):
         live = live_i < counts[r]
         sl_w = jax.lax.dynamic_slice(
@@ -182,12 +223,15 @@ def build_and_partition(codes, valid, row0, highs, *, cfg, n_parts, part_cap):
         out_w.append(jnp.where(live[:, None], sl_w, SENTINEL_WORD))
         sl_pay = jax.lax.dynamic_slice(payS, (starts[r],), (part_cap,))
         out_pay.append(jnp.where(live, sl_pay, U32(0)))
-        sl_pos = jax.lax.dynamic_slice(posS, (starts[r],), (part_cap,))
-        out_pos.append(jnp.where(live, sl_pos, U32(0)))
+        for c in range(np_):
+            sl_pos = jax.lax.dynamic_slice(
+                posS[c], (starts[r],), (part_cap,)
+            )
+            out_pos[c].append(jnp.where(live, sl_pos, U32(0)))
     return (
         jnp.stack(out_w),
         jnp.stack(out_pay),
-        jnp.stack(out_pos),
+        tuple(jnp.stack(o) for o in out_pos),
         counts,
     )
 
@@ -202,14 +246,21 @@ def assemble_round(r, parts_w, parts_pay, parts_pos, *, buf_slots):
     ]
     ws = jnp.concatenate(take(parts_w))
     pays = jnp.concatenate(take(parts_pay))
-    poss = jnp.concatenate(take(parts_pos))
+    # parts_pos: per-batch tuples of 1-2 position columns
+    n_comp = len(parts_pos[0])
+    poss = tuple(
+        jnp.concatenate(take([pp[c] for pp in parts_pos]))
+        for c in range(n_comp)
+    )
     pad = buf_slots - ws.shape[0]
     if pad:
         ws = jnp.concatenate(
             [ws, jnp.full((pad, ws.shape[1]), SENTINEL_WORD, U32)]
         )
         pays = jnp.concatenate([pays, jnp.zeros(pad, U32)])
-        poss = jnp.concatenate([poss, jnp.zeros(pad, U32)])
+        poss = tuple(
+            jnp.concatenate([p, jnp.zeros(pad, U32)]) for p in poss
+        )
     return ws, pays, poss
 
 
@@ -218,7 +269,10 @@ def append_records(buf_w, buf_pay, buf_pos, words, payload, pos, offset):
     zero = jnp.int32(0)
     buf_w = jax.lax.dynamic_update_slice(buf_w, words, (offset, zero))
     buf_pay = jax.lax.dynamic_update_slice(buf_pay, payload, (offset,))
-    buf_pos = jax.lax.dynamic_update_slice(buf_pos, pos, (offset,))
+    buf_pos = tuple(
+        jax.lax.dynamic_update_slice(b, p, (offset,))
+        for b, p in zip(buf_pos, pos)
+    )
     return buf_w, buf_pay, buf_pos
 
 
@@ -235,12 +289,14 @@ def compact_batch_records(words, payload, pos, *, cap: int):
     cols = jax.lax.sort(
         (flag, idx)
         + tuple(words[:, i] for i in range(words.shape[1]))
-        + (payload, pos),
+        + (payload,)
+        + pos,
         num_keys=2,
     )
     w = words.shape[1]
     out_w = jnp.stack(cols[2 : 2 + w], axis=-1)[:cap]
-    out_pay, out_pos = cols[2 + w][:cap], cols[3 + w][:cap]
+    out_pay = cols[2 + w][:cap]
+    out_pos = tuple(c[:cap] for c in cols[3 + w :])
     live = jnp.arange(cap) < count
     out_w = jnp.where(live[:, None], out_w, SENTINEL_WORD)
     out_pay = jnp.where(live, out_pay, U32(0))
@@ -249,11 +305,12 @@ def compact_batch_records(words, payload, pos, *, cap: int):
 
 @partial(jax.jit, static_argnames=("w",), donate_argnums=(0, 1, 2))
 def sort_records(buf_w, buf_pay, buf_pos, *, w: int):
-    """Sort records by the w k-mer words (payload carried along)."""
-    cols = tuple(buf_w[:, i] for i in range(w)) + (buf_pay, buf_pos)
+    """Sort records by the w k-mer words (payload + pos carried along).
+    buf_pos is a tuple of 1-2 position columns."""
+    cols = tuple(buf_w[:, i] for i in range(w)) + (buf_pay,) + buf_pos
     sorted_cols = jax.lax.sort(cols, num_keys=w)
     sw = jnp.stack(sorted_cols[:w], axis=-1)
-    return sw, sorted_cols[w], sorted_cols[w + 1]
+    return sw, sorted_cols[w], tuple(sorted_cols[w + 1 :])
 
 
 @partial(jax.jit, static_argnames=("check_abundance",))
@@ -458,9 +515,10 @@ def judge_compact_fused(sw, pay, pos, abundance, *, check_abundance, chunk):
 
     m, w = sw.shape
     n_chunks = m // chunk
+    n_comp = len(pos)
     swc = sw.reshape(n_chunks, chunk, w)
     payc = pay.reshape(n_chunks, chunk)
-    posc = pos.reshape(n_chunks, chunk)
+    posc = tuple(p.reshape(n_chunks, chunk) for p in pos)
 
     def fwd(carry, inp):
         prev_row, carries = carry
@@ -507,7 +565,7 @@ def judge_compact_fused(sw, pay, pos, abundance, *, check_abundance, chunk):
         ).astype(jnp.int32)
 
     tab_buf0 = jnp.full((m + chunk, w), SENTINEL_WORD, U32)
-    op_buf0 = jnp.zeros(m + chunk, U32)
+    op_buf0 = tuple(jnp.zeros(m + chunk, U32) for _ in range(n_comp))
     oi_buf0 = jnp.zeros(m + chunk, jnp.int32)
     idx = jnp.arange(chunk, dtype=U32)
 
@@ -540,11 +598,16 @@ def judge_compact_fused(sw, pay, pos, abundance, *, check_abundance, chunk):
             tab_buf, jnp.stack(cols[2:], axis=-1), (off_t, jnp.int32(0))
         )
         cols2 = jax.lax.sort(
-            ((~keep).astype(U32), idx, posk, ids), num_keys=2
+            ((~keep).astype(U32), idx) + posk + (ids,), num_keys=2
         )
         cnt_o = jnp.sum(keep, dtype=jnp.int32)
-        op_buf = jax.lax.dynamic_update_slice(op_buf, cols2[2], (off_o,))
-        oi_buf = jax.lax.dynamic_update_slice(oi_buf, cols2[3], (off_o,))
+        op_buf = tuple(
+            jax.lax.dynamic_update_slice(b, c, (off_o,))
+            for b, c in zip(op_buf, cols2[2 : 2 + n_comp])
+        )
+        oi_buf = jax.lax.dynamic_update_slice(
+            oi_buf, cols2[2 + n_comp], (off_o,)
+        )
         carry = (
             rank[-1],
             tg + jnp.sum(ngk & real, dtype=jnp.int64),
@@ -712,8 +775,11 @@ def _finale(tabs, njs, ops, ois, nos):
         .set(jnp.arange(M, dtype=jnp.int32), mode="promise_in_bounds")
     )
 
-    capsO = [o.shape[0] for o in ops]
-    opc = jnp.concatenate(ops)
+    capsO = [o[0].shape[0] for o in ops]
+    n_comp = len(ops[0])
+    opc = tuple(
+        jnp.concatenate([o[c] for o in ops]) for c in range(n_comp)
+    )
     oic = jnp.concatenate(ois)
     rtagO = jnp.concatenate(
         [jnp.full(c, r, jnp.int32) for r, c in enumerate(capsO)]
@@ -727,14 +793,18 @@ def _finale(tabs, njs, ops, ois, nos):
     grank = remap[a]
     gid = jnp.where(oic < 0, -(grank + 1), grank + 1)
     gid = jnp.where(realO, gid, 0)
-    opS = jnp.where(realO, opc, U32(0xFFFFFFFF))
-    cols2 = jax.lax.sort(
-        ((~realO).astype(U32), opS, gid), num_keys=2
+    opS = tuple(
+        jnp.where(realO, o, U32(0xFFFFFFFF)) for o in opc
     )
-    return table_sorted, cols2[1], cols2[2]
+    cols2 = jax.lax.sort(
+        ((~realO).astype(U32),) + opS + (gid,), num_keys=1 + n_comp
+    )
+    return table_sorted, tuple(cols2[1 : 1 + n_comp]), cols2[1 + n_comp]
 
 
-def _stream_round_buffers(dev_batches, low, high, buf_slots, cfg, *, single):
+def _stream_round_buffers(
+    dev_batches, low, high, buf_slots, cfg, *, single, wide=False
+):
     """Build one round's sentinel-padded sort buffers by re-streaming the
     resident window batches through build_sort_records (the analogue of
     the reference re-streaming FASTA per round,
@@ -742,16 +812,17 @@ def _stream_round_buffers(dev_batches, low, high, buf_slots, cfg, *, single):
     resident-parts HBM budget, or in single-round mode (where no
     per-round rebuild happens anyway)."""
     low_d, high_d = jnp.uint32(low), jnp.uint32(high)
+    n_comp = 2 if wide else 1
     buf_w = jnp.full((buf_slots, cfg.w), SENTINEL_WORD, U32)
     buf_pay = jnp.zeros(buf_slots, U32)
-    buf_pos = jnp.zeros(buf_slots, U32)
+    buf_pos = tuple(jnp.zeros(buf_slots, U32) for _ in range(n_comp))
     if single:
         # direct whole-batch appends: rows land at row0*P <= n_slots -
         # B*P <= buf_slots - B*P, never clamped — no compaction needed
         for codes_d, valid_d, row0 in dev_batches:
             words, payload, pos = build_sort_records(
-                codes_d, valid_d, jnp.uint32(row0), low_d, high_d,
-                cfg=cfg,
+                codes_d, valid_d, _pos_base(row0, cfg.P, wide),
+                low_d, high_d, cfg=cfg,
             )
             buf_w, buf_pay, buf_pos = append_records(
                 buf_w, buf_pay, buf_pos, words, payload, pos,
@@ -761,7 +832,8 @@ def _stream_round_buffers(dev_batches, low, high, buf_slots, cfg, *, single):
     pend = []
     for codes_d, valid_d, row0 in dev_batches:
         words, payload, pos = build_sort_records(
-            codes_d, valid_d, jnp.uint32(row0), low_d, high_d, cfg=cfg
+            codes_d, valid_d, _pos_base(row0, cfg.P, wide),
+            low_d, high_d, cfg=cfg,
         )
         pend.append(
             compact_batch_records(words, payload, pos, cap=cfg.B * cfg.P)
@@ -795,12 +867,12 @@ def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
         sw, pay, pos, abundance, check_abundance=check_ab, chunk=chunk
     )
     n_groups, n_junc, n_occ = int(n_groups), int(n_junc), int(n_occ)
-    m = op_buf.shape[0]
+    m = op_buf[0].shape[0]
     # fetch pow2-bucketed slices, not whole buffers (tunnel ~40-64 MB/s)
     cap_t = _bucket_cap(max(n_junc, 1), m)
     cap_o = _bucket_cap(max(n_occ, 1), m)
     table = np.asarray(tab_buf[:cap_t])[:n_junc]
-    op = np.asarray(op_buf[:cap_o])[:n_occ]
+    op = _host_pos([b[:cap_o] for b in op_buf])[:n_occ]
     oi = np.asarray(oi_buf[:cap_o])[:n_occ]
     order = np.argsort(op, kind="stable")  # occurrences by position
     return table, op[order], oi[order], n_groups, n_junc, n_occ
@@ -923,11 +995,10 @@ def build_junctions_sorted(
     stats.total_positions = sum(int(b.valid.sum()) for b in batches)
     n_rows = len(batches) * cfg.B
     n_slots = n_rows * cfg.P
-    if n_slots >= 1 << 32:
-        raise ValueError(
-            "sort engine flat positions are uint32: inputs beyond ~4.2 "
-            "Gbases need the bloom engine or a sharded run"
-        )
+    # beyond 2^32 flat positions (~4.2 Gbases) records carry a second
+    # u32 position column (the reference's size_t positions never cap,
+    # vertexenumerator.h:935-958); TWOPACO_POS64=1 forces it for tests
+    wide = n_slots >= 1 << 32 or os.environ.get("TWOPACO_POS64") == "1"
     log(
         f"Engine = sort-join\nVertex length = {config.k}\n"
         f"Record slots = {n_slots}\nCapacity = {cfg.w} words"
@@ -935,14 +1006,21 @@ def build_junctions_sorted(
 
     # upload 2-bit packed + N bitmask (2.25 bits/char): H2D volume and
     # HBM residency are ~3.6x smaller than raw uint8 codes
-    dev_batches = [
-        (
-            tuple(map(jnp.asarray, pack.pack_codes_host(b.codes))),
-            jnp.asarray(b.valid),
-            b.row0,
-        )
-        for b in batches
-    ]
+    # (TWOPACO_PACK_TRANSFER=0 uploads raw codes, for perf bisection)
+    if os.environ.get("TWOPACO_PACK_TRANSFER", "1") != "0":
+        dev_batches = [
+            (
+                tuple(map(jnp.asarray, pack.pack_codes_host(b.codes))),
+                jnp.asarray(b.valid),
+                b.row0,
+            )
+            for b in batches
+        ]
+    else:
+        dev_batches = [
+            (jnp.asarray(b.codes), jnp.asarray(b.valid), b.row0)
+            for b in batches
+        ]
 
     # auto-rounds: cap the per-round sort size (compile/memory bound) —
     # the reference's -r memory knob generalized; we honor at least the
@@ -972,7 +1050,7 @@ def build_junctions_sorted(
     # below re-builds records every round (the analogue of the
     # reference re-streaming FASTA per round, vertexenumerator.h:228) —
     # kept for inputs whose records exceed the resident byte budget.
-    rec_bytes = 4 * (cfg.w + 2)
+    rec_bytes = 4 * (cfg.w + 2 + (1 if wide else 0))
     resident = (
         n_rounds > 1
         and int(n_slots * config.round_slack * rec_bytes)
@@ -1007,7 +1085,8 @@ def build_junctions_sorted(
             highs_d = jnp.asarray(highs)
             pend = [
                 build_and_partition(
-                    codes_d, valid_d, jnp.uint32(row0), highs_d,
+                    codes_d, valid_d, _pos_base(row0, cfg.P, wide),
+                    highs_d,
                     cfg=cfg, n_parts=len(intervals), part_cap=part_cap,
                 )
                 for codes_d, valid_d, row0 in dev_batches
@@ -1067,7 +1146,9 @@ def build_junctions_sorted(
     # (counts are settled in one fetch, bounded by an HBM budget guard).
     # Checkpointing needs host copies per round, so it takes the
     # host-merge path instead.
-    device_finale = checkpoint_dir is None
+    device_finale = checkpoint_dir is None and (
+        os.environ.get("TWOPACO_DEVICE_FINALE", "1") != "0"
+    )
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
     dev_tabs: list = []
@@ -1093,11 +1174,11 @@ def build_junctions_sorted(
             pend_bufs, counts, pend_stats
         ):
             n_groups, n_junc, n_occ = (int(x) for x in cnts)
-            m = op_buf.shape[0]
+            m = op_buf[0].shape[0]
             cap_t = _bucket_cap(max(n_junc, 1), m)
             cap_o = _bucket_cap(max(n_occ, 1), m)
             dev_tabs.append(tab_buf[:cap_t])
-            dev_ops.append(op_buf[:cap_o])
+            dev_ops.append(tuple(b[:cap_o] for b in op_buf))
             dev_ois.append(oi_buf[:cap_o])
             njunc_l.append(n_junc)
             nocc_l.append(n_occ)
@@ -1133,7 +1214,7 @@ def build_junctions_sorted(
         else:
             buf_w, buf_pay, buf_pos = _stream_round_buffers(
                 dev_batches, low, high, buf_slots, cfg,
-                single=len(intervals) == 1,
+                single=len(intervals) == 1, wide=wide,
             )
         t_build = time.time() - t0
 
@@ -1204,9 +1285,9 @@ def build_junctions_sorted(
         del dev_tabs, dev_ops, dev_ois
         J, TO = int(sum(njunc_l)), int(sum(nocc_l))
         capJ = _bucket_cap(max(J, 1), tabS.shape[0])
-        capO = _bucket_cap(max(TO, 1), opS.shape[0])
+        capO = _bucket_cap(max(TO, 1), opS[0].shape[0])
         table = np.asarray(tabS[:capJ])[:J]
-        occ_pos = np.asarray(opS[:capO])[:TO].astype(np.int64)
+        occ_pos = _host_pos([o[:capO] for o in opS])[:TO]
         occ_ids = np.asarray(gidS[:capO])[:TO].astype(np.int64)
         stats.timings["dict"] = time.time() - t0
         return finish_emit(
