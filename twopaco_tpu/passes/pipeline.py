@@ -175,6 +175,85 @@ def _bucket_cap(count: int, hard_max: int) -> int:
     return min(_next_pow2(max(count, 1)), hard_max)
 
 
+def _input_fingerprint(input_paths, sequences) -> str:
+    """Identity of the run's input for checkpoint validation: file
+    paths+sizes+mtimes when reading from disk, a content hash of the
+    encoded sequences otherwise."""
+    import hashlib
+    import os
+
+    h = hashlib.blake2b(digest_size=16)
+    if input_paths is not None:
+        for p in input_paths:
+            st = os.stat(p)
+            h.update(
+                f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns};".encode()
+            )
+    else:
+        for sid, codes in sequences:
+            h.update(f"{sid}:{len(codes)}:".encode())
+            h.update(np.ascontiguousarray(codes, np.uint8).tobytes())
+    return h.hexdigest()
+
+
+class RoundCheckpoint:
+    """Round-boundary checkpointing shared by both engines: each
+    completed round's arrays + stats land in <dir>/round_<r>.npz,
+    guarded by a meta.json of the run parameters and an input
+    fingerprint (a mismatch invalidates the checkpoint rather than
+    resuming wrongly). The reference keeps intermediate files but has
+    no resume (SURVEY.md §5); rounds are deterministic here, so
+    completed ones can be reloaded verbatim."""
+
+    def __init__(self, directory, meta: dict):
+        self.dir = directory
+        if directory is None:
+            return
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self.meta = meta
+        meta_path = os.path.join(directory, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if json.load(f) != self.meta:
+                    for fn in os.listdir(directory):
+                        if fn.startswith("round_") or fn == "meta.json":
+                            os.remove(os.path.join(directory, fn))
+        with open(meta_path, "w") as f:
+            json.dump(self.meta, f)
+
+    def _path(self, r: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"round_{r}.npz")
+
+    def load_round(self, r: int):
+        """-> (arrays dict, rstats dict) or None if not checkpointed."""
+        if self.dir is None:
+            return None
+        import json
+        import os
+
+        p = self._path(r)
+        if not os.path.exists(p):
+            return None
+        z = np.load(p, allow_pickle=False)
+        rstats = json.loads(str(z["stats"]))
+        return {k: z[k] for k in z.files if k != "stats"}, rstats
+
+    def save_round(self, r: int, rstats, **arrays) -> None:
+        if self.dir is None:
+            return
+        import json
+        import os
+
+        tmp = self._path(r) + ".tmp.npz"  # .npz suffix: savez won't append
+        np.savez(tmp, stats=np.asarray(json.dumps(rstats)), **arrays)
+        os.replace(tmp, self._path(r))
+
+
 def _present(sorted_arr: np.ndarray, targets: np.ndarray) -> np.ndarray:
     """Element-of test for each target against a sorted array."""
     if len(sorted_arr) == 0:
@@ -275,7 +354,8 @@ def build_junctions(
     jax.profiler trace of the device passes there (the reference's only
     observability is coarse per-pass wall clock, SURVEY.md §5; we get
     real traces). checkpoint_dir: resume completed rounds from / save
-    them to this directory (sort engine).
+    them to this directory (both engines checkpoint at round
+    boundaries; a changed input or parameter set invalidates it).
     """
     if profile_dir is not None:
         import jax.profiler
@@ -345,10 +425,37 @@ def build_junctions(
         intervals = [(0, 0xFFFFFFFF)]
 
     # ---- rounds: fill -> mark -> verify --------------------------------
+    # round-boundary checkpoint/resume (same guard scheme as the sort
+    # engine): a round's outputs are its junction words + per-batch
+    # candidate masks/counts (needed again by pass 4)
+    ckpt = RoundCheckpoint(
+        checkpoint_dir,
+        dict(
+            k=config.k,
+            abundance=config.abundance,
+            filter_bits=config.filter_bits,
+            hash_functions=config.hash_functions,
+            engine="bloom",
+            intervals=[list(map(int, iv)) for iv in intervals],
+            fingerprint=_input_fingerprint(input_paths, sequences)
+            if checkpoint_dir is not None
+            else None,
+            version=1,
+        ),
+    )
     all_junction_words: list[np.ndarray] = []
     round_masks: list[list[np.ndarray]] = []  # [round][batch] packed bits
     round_counts: list[list[int]] = []  # [round][batch] candidate counts
     for r, (low, high) in enumerate(intervals):
+        restored = ckpt.load_round(r)
+        if restored is not None:
+            arrays, rstats = restored
+            all_junction_words.append(arrays["junc_words"])
+            round_masks.append(list(arrays["masks"]))
+            round_counts.append([int(c) for c in arrays["counts"]])
+            stats.rounds.append(rstats)
+            log(f"Round {r}: restored from checkpoint")
+            continue
         low_d, high_d = jnp.uint32(low), jnp.uint32(high)
         log(f"Round {r}, {low}:{high}")
 
@@ -440,6 +547,15 @@ def build_junctions(
             f"2\t{t_verify:.1f}\nTrue junctions = {n_junc}\n"
             f"False junctions = {n_groups - n_junc}\n"
             f"Hash table size = {n_groups}\nCandidate marks count = {marks_count}"
+        )
+        ckpt.save_round(
+            r,
+            stats.rounds[-1],
+            junc_words=junc_words,
+            masks=np.stack(masks_here) if masks_here else np.zeros(
+                (0, 0, 0), np.uint32
+            ),
+            counts=np.asarray(counts_here, np.int64),
         )
 
     # ---- junction dictionary ------------------------------------------

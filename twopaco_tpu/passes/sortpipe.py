@@ -50,9 +50,11 @@ from twopaco_tpu.passes import kernels
 from twopaco_tpu.passes.pipeline import (
     Enumerator,
     PipelineConfig,
+    RoundCheckpoint,
     RunStats,
     STUB_ID_OFFSET,
     _bucket_cap,
+    _input_fingerprint,
     _split_rounds,
     emit_junctions,
 )
@@ -878,98 +880,39 @@ def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
     return table, op[order], oi[order], n_groups, n_junc, n_occ
 
 
-def _input_fingerprint(input_paths, sequences) -> str:
-    """Identity of the run's input for checkpoint validation: file
-    paths+sizes+mtimes when reading from disk, a content hash of the
-    encoded sequences otherwise."""
-    import hashlib
-    import os
-
-    h = hashlib.blake2b(digest_size=16)
-    if input_paths is not None:
-        for p in input_paths:
-            st = os.stat(p)
-            h.update(
-                f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns};".encode()
-            )
-    else:
-        for sid, codes in sequences:
-            h.update(f"{sid}:{len(codes)}:".encode())
-            h.update(np.ascontiguousarray(codes, np.uint8).tobytes())
-    return h.hexdigest()
-
-
-class _Checkpoint:
-    """Round-boundary checkpointing: each completed round's junction
-    table, occurrences and stats land in <dir>/round_<r>.npz, guarded by
-    a meta.json of the run parameters (mismatched parameters invalidate
-    the checkpoint rather than resuming wrongly)."""
+class _Checkpoint(RoundCheckpoint):
+    """Sort-engine round checkpoint: per-round junction table +
+    occurrence stream (see pipeline.RoundCheckpoint for the guard)."""
 
     def __init__(
         self, directory, config: PipelineConfig, n_slots, intervals,
         fingerprint=None,
     ):
-        self.dir = directory
-        if directory is None:
-            return
-        import json
-        import os
-
-        os.makedirs(directory, exist_ok=True)
-        self.meta = dict(
-            k=config.k,
-            abundance=config.abundance,
-            n_slots=int(n_slots),
-            intervals=[list(map(int, iv)) for iv in intervals],
-            # input identity: a changed input must invalidate the
-            # checkpoint even when the padded slot count happens to match
-            fingerprint=fingerprint,
-            version=2,
+        super().__init__(
+            directory,
+            dict(
+                k=config.k,
+                abundance=config.abundance,
+                n_slots=int(n_slots),
+                intervals=[list(map(int, iv)) for iv in intervals],
+                # input identity: a changed input must invalidate the
+                # checkpoint even when the padded slot count matches
+                fingerprint=fingerprint,
+                version=2,
+            ),
         )
-        meta_path = os.path.join(directory, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                if json.load(f) != self.meta:
-                    for fn in os.listdir(directory):
-                        if fn.startswith("round_") or fn == "meta.json":
-                            os.remove(os.path.join(directory, fn))
-        with open(meta_path, "w") as f:
-            json.dump(self.meta, f)
-
-    def _path(self, r: int) -> str:
-        import os
-
-        return os.path.join(self.dir, f"round_{r}.npz")
 
     def load_round(self, r: int):
-        if self.dir is None:
+        got = super().load_round(r)
+        if got is None:
             return None
-        import json
-        import os
-
-        p = self._path(r)
-        if not os.path.exists(p):
-            return None
-        z = np.load(p, allow_pickle=False)
-        rstats = json.loads(str(z["stats"]))
-        return z["table"], z["occ_pos"], z["occ_ids"], rstats
+        arrays, rstats = got
+        return arrays["table"], arrays["occ_pos"], arrays["occ_ids"], rstats
 
     def save_round(self, r, table, occ_pos, occ_ids, rstats) -> None:
-        if self.dir is None:
-            return
-        import json
-
-        import os
-
-        tmp = self._path(r) + ".tmp.npz"  # .npz suffix: savez won't append
-        np.savez(
-            tmp,
-            table=table,
-            occ_pos=occ_pos,
-            occ_ids=occ_ids,
-            stats=np.asarray(json.dumps(rstats)),
+        super().save_round(
+            r, rstats, table=table, occ_pos=occ_pos, occ_ids=occ_ids
         )
-        os.replace(tmp, self._path(r))
 
 
 def build_junctions_sorted(
