@@ -21,6 +21,7 @@ Differences from the reference, by design (SURVEY.md §5, §7):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterable, Sequence
@@ -291,6 +292,13 @@ def emit_junctions(
     pos0 = np.concatenate([b.pos0 for b in batches])
     valid = np.concatenate([b.valid for b in batches]).astype(np.int64)
     n_pos = np.concatenate([b.n_pos for b in batches])
+    dump = os.environ.get("TWOPACO_DUMP_EMIT")
+    if dump:  # offline emit profiling on real-run inputs
+        np.savez(
+            dump, occ_pos=occ_pos, occ_ids=occ_ids, seq_id=seq_id,
+            pos0=pos0, valid=valid, n_pos=n_pos,
+            table_len=np.int64(table_len), P=np.int64(P),
+        )
     n_rows = len(seq_id)
     rows = np.arange(n_rows, dtype=np.int64)
     occ_pos = occ_pos.astype(np.int64, copy=False)
@@ -327,11 +335,13 @@ def emit_junctions(
         timings["emit_stub"] = time.time() - t0
     t0 = time.time()
     row_of = all_flat // P
+    out_chr = seq_id[row_of]
+    out_pos = (pos0[row_of] - 1 + (all_flat - row_of * P)).astype(np.uint32)
+    if timings is not None:
+        timings["emit_map"] = time.time() - t0
+    t0 = time.time()
     junction_io.write_records_with_separators(
-        out_path,
-        seq_id[row_of],
-        (pos0[row_of] - 1 + (all_flat - row_of * P)).astype(np.uint32),
-        all_ids,
+        out_path, out_chr, out_pos, all_ids
     )
     if timings is not None:
         timings["emit_write"] = time.time() - t0

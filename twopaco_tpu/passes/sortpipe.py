@@ -929,13 +929,17 @@ def build_junctions_sorted(
     stats = RunStats()
     t_start = time.time()
 
+    t0 = time.time()
     if sequences is None:
         sequences = [
             (sid, codes)
             for sid, _hdr, codes in fasta_io.read_all_records(input_paths)
         ]
+    stats.timings["read"] = time.time() - t0
+    t0 = time.time()
     batches = list(windows.iter_window_batches(iter(sequences), wcfg))
     stats.total_positions = sum(int(b.valid.sum()) for b in batches)
+    stats.timings["windows"] = time.time() - t0
     n_rows = len(batches) * cfg.B
     n_slots = n_rows * cfg.P
     # beyond 2^32 flat positions (~4.2 Gbases) records carry a second
@@ -950,6 +954,7 @@ def build_junctions_sorted(
     # upload 2-bit packed + N bitmask (2.25 bits/char): H2D volume and
     # HBM residency are ~3.6x smaller than raw uint8 codes
     # (TWOPACO_PACK_TRANSFER=0 uploads raw codes, for perf bisection)
+    t0 = time.time()
     if os.environ.get("TWOPACO_PACK_TRANSFER", "1") != "0":
         dev_batches = [
             (
@@ -964,6 +969,7 @@ def build_junctions_sorted(
             (jnp.asarray(b.codes), jnp.asarray(b.valid), b.row0)
             for b in batches
         ]
+    stats.timings["upload"] = time.time() - t0
 
     # auto-rounds: cap the per-round sort size (compile/memory bound) —
     # the reference's -r memory knob generalized; we honor at least the
@@ -1001,6 +1007,7 @@ def build_junctions_sorted(
         and os.environ.get("TWOPACO_RESIDENT", "1") != "0"
     )
     if n_rounds > 1:
+        t0 = time.time()
         hist_d = None
         for codes_d, valid_d, _r0 in dev_batches:
             h = kernels.histogram_vertex_hashes(
@@ -1008,8 +1015,10 @@ def build_junctions_sorted(
             )
             hist_d = h if hist_d is None else hist_d + h
         hist = np.asarray(hist_d)
+        stats.timings["hist"] = time.time() - t0
 
     parts_w = parts_pay = parts_pos = None
+    t0 = time.time()
     if resident:
         # R from the buffer's full capacity (no append headroom needed)
         n_rounds = max(
@@ -1057,6 +1066,7 @@ def build_junctions_sorted(
         buf_slots = n_batches * part_cap
         if buf_slots > JUDGE_CHUNK:
             buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
+        stats.timings["partition"] = time.time() - t0
         log(
             f"Splitting the input kmers set ({len(intervals)} rounds, "
             f"resident parts, block cap {part_cap})"
@@ -1265,6 +1275,7 @@ def merge_rounds_and_emit(
     else:
         table = np.zeros((0, cfg.w), np.uint32)
         global_keys = np.zeros(0, dtype=f"S{4*cfg.w}")
+    stats.timings["dict_table"] = time.time() - t0
 
     all_pos: list[np.ndarray] = []
     all_ids: list[np.ndarray] = []
@@ -1282,6 +1293,7 @@ def merge_rounds_and_emit(
         # a uint64 array silently falls off the fast path (O(n) per call)
         all_pos.append(op.astype(np.int64))
         all_ids.append(sign * gid)
+    stats.timings["dict_remap"] = time.time() - t0
 
     if all_pos:
         occ_pos = np.concatenate(all_pos)
