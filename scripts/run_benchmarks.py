@@ -1,0 +1,162 @@
+"""Reference-vs-ours benchmark matrix (BASELINE.md configs 2-4).
+
+The real datasets behind BASELINE.md (E. coli strains, hg38 chr1) are
+not obtainable in this offline environment, so each config runs on a
+synthetic stand-in of the same scale and shape (single genome /
+62-strain pangenome / chromosome-length single sequence). The reference
+binary (/tmp/refbuild) and our CLI run on the SAME input; junction-set
+parity is checked with scripts/check_parity.py logic and throughput is
+recorded to BENCHMARKS.json + BENCHMARKS.md.
+
+Run SOLO (one TPU process at a time): python scripts/run_benchmarks.py
+[config ...] where config in {ecoli, ecoli62, chr1}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/tmp/refbuild/graphconstructor/twopaco"
+_ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+CONFIGS = {
+    # BASELINE.md item 2: single E. coli (4.6 Mb), k=25, f=34
+    "ecoli": dict(n_seqs=1, length=4_600_000, k=25, f=34, rounds=1,
+                  threads=(1, 4), snp=0.0),
+    # item 3: 62 E. coli strains, k=25, r=1
+    "ecoli62": dict(n_seqs=62, length=4_600_000, k=25, f=30, rounds=1,
+                    threads=(4,), snp=0.01),
+    # item 4: human chr1 (~250 Mb), k=31, r=4 (multi-round memory mode)
+    "chr1": dict(n_seqs=1, length=250_000_000, k=31, f=30, rounds=4,
+                 threads=(4,), snp=0.0),
+}
+
+
+def write_fasta(path: str, cfg: dict, seed: int = 77) -> int:
+    marker = f"{path}.ok"
+    if os.path.exists(marker) and os.path.exists(path):
+        return cfg["n_seqs"] * cfg["length"]
+    rng = np.random.default_rng(seed)
+    base = _ALPHA[rng.integers(0, 4, size=cfg["length"])]
+    with open(path, "wb") as f:
+        for i in range(cfg["n_seqs"]):
+            s = base
+            if i and cfg["snp"]:
+                s = base.copy()
+                flip = rng.random(cfg["length"]) < cfg["snp"]
+                s[flip] = _ALPHA[rng.integers(0, 4, size=int(flip.sum()))]
+            f.write(f">chr{i}\n".encode())
+            f.write(s.tobytes())
+            f.write(b"\n")
+    open(marker, "w").write("ok\n")
+    return cfg["n_seqs"] * cfg["length"]
+
+
+def run_reference(fa, cfg, threads, out):
+    t0 = time.time()
+    subprocess.run(
+        [REF, "-k", str(cfg["k"]), "-f", str(cfg["f"]),
+         "-r", str(cfg["rounds"]), "-t", str(threads),
+         "--tmpdir", "/tmp", "-o", out, fa],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    return time.time() - t0
+
+
+def run_ours(fa, cfg, out):
+    env = dict(os.environ)
+    t0 = time.time()
+    subprocess.run(
+        [sys.executable, "-m", "twopaco_tpu.cli.twopaco",
+         "-k", str(cfg["k"]), "-f", str(cfg["f"]),
+         "-r", str(cfg["rounds"]), "-o", out, fa],
+        check=True, cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    return time.time() - t0
+
+
+def check_parity(ours, theirs) -> bool:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import check_parity as cp
+    from twopaco_tpu.io import junctions
+
+    a = junctions.read_junctions(ours)
+    b = junctions.read_junctions(theirs)
+    occ_a = set(zip(a[0].tolist(), a[1].tolist()))
+    occ_b = set(zip(b[0].tolist(), b[1].tolist()))
+    if occ_a != occ_b:
+        return False
+    return cp.partition_signature(*a) == cp.partition_signature(*b)
+
+
+def main():
+    which = sys.argv[1:] or list(CONFIGS)
+    path = os.path.join(REPO, "BENCHMARKS.json")
+    results = {}
+    if os.path.exists(path):
+        results = json.load(open(path))
+    for name in which:
+        cfg = CONFIGS[name]
+        fa = f"/tmp/bench_{name}.fa"
+        total = write_fasta(fa, cfg)
+        entry = dict(config=cfg, total_bases=total, reference={},
+                     synthetic_stand_in=True)
+        for t in cfg["threads"]:
+            # warm run discarded? reference is disk-streaming; one run
+            dt = run_reference(fa, cfg, t, f"/tmp/bench_{name}_ref.dbg")
+            entry["reference"][f"t{t}"] = dict(
+                seconds=round(dt, 2),
+                mbases_per_sec=round(total / dt / 1e6, 3),
+            )
+            print(f"{name} reference t={t}: {dt:.1f}s "
+                  f"{total/dt/1e6:.2f} Mb/s", flush=True)
+        # ours: first run pays one-time XLA compiles; report the warm run
+        run_ours(fa, cfg, f"/tmp/bench_{name}_tpu.dbg")
+        dt = run_ours(fa, cfg, f"/tmp/bench_{name}_tpu.dbg")
+        entry["ours"] = dict(
+            seconds=round(dt, 2),
+            mbases_per_sec=round(total / dt / 1e6, 3),
+        )
+        print(f"{name} ours: {dt:.1f}s {total/dt/1e6:.2f} Mb/s", flush=True)
+        entry["parity"] = check_parity(
+            f"/tmp/bench_{name}_tpu.dbg", f"/tmp/bench_{name}_ref.dbg"
+        )
+        print(f"{name} parity: {'PASS' if entry['parity'] else 'FAIL'}",
+              flush=True)
+        results[name] = entry
+        json.dump(results, open(path, "w"), indent=2)
+
+    with open(os.path.join(REPO, "BENCHMARKS.md"), "w") as f:
+        f.write(
+            "# Benchmarks — reference binary vs twopaco-tpu\n\n"
+            "Real BASELINE.md datasets are not obtainable offline; each\n"
+            "config uses a synthetic stand-in of the same scale "
+            "(see scripts/run_benchmarks.py).\nReference = C++ TwoPaCo on "
+            f"{os.cpu_count()}-core host; ours = one TPU v5e chip.\n\n"
+            "| config | bases | reference best | ours | speedup | parity |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for name, e in results.items():
+            ref_best = max(
+                v["mbases_per_sec"] for v in e["reference"].values()
+            )
+            ours = e["ours"]["mbases_per_sec"]
+            f.write(
+                f"| {name} | {e['total_bases']/1e6:.0f} Mb | "
+                f"{ref_best:.2f} Mb/s | {ours:.2f} Mb/s | "
+                f"{ours/ref_best:.2f}x | "
+                f"{'PASS' if e['parity'] else 'FAIL'} |\n"
+            )
+    print("wrote BENCHMARKS.json / BENCHMARKS.md")
+
+
+if __name__ == "__main__":
+    main()
