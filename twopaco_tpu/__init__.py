@@ -26,6 +26,33 @@ Architecture (TPU-first, not a port):
 
 import os as _os
 
+
+def _retain_heap() -> None:
+    """Keep freed large allocations in the process heap.
+
+    glibc serves >128KB allocations via mmap and returns them to the OS
+    on free; on VMs whose memory is demand-faulted from the hypervisor
+    (first touch of a new page measured at ~70-100us here), that makes
+    every large numpy temporary re-fault its pages — array passes ran
+    30-50x slower than warm-memory reruns. Raising the mmap/trim
+    thresholds makes the heap retain and reuse warmed pages; RSS stays
+    high, which is the intended trade. TWOPACO_RETAIN_HEAP=0 disables.
+    """
+    if _os.environ.get("TWOPACO_RETAIN_HEAP", "1") == "0":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass  # non-glibc platforms: default allocator behavior
+
+
+_retain_heap()
+
 import jax as _jax
 
 # All k-mer/hash math is explicit fixed-width integer arithmetic; several
