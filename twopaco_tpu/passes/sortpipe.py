@@ -723,87 +723,6 @@ def compact_words_chunked(flag, words, total: int) -> np.ndarray:
     return np.asarray(buf[:cap])[:total]
 
 
-@jax.jit
-def _finale(tabs, njs, ops, ois, nos):
-    """Device-side multi-round merge: global dictionary + id remap +
-    occurrence sort in ONE program (the host analogue lives in
-    merge_rounds_and_emit; this replaces it when per-round results are
-    still device-resident — no per-round fetches, no host sorts).
-
-    tabs: per-round (capT_r, w) u32 junction k-mers packed at the front
-          (rows >= njs[r] are junk — masked to sentinel here);
-    njs:  (R,) i32 per-round junction counts;
-    ops/ois: per-round (capO_r,) u32 flat positions / i32 signed local
-          ids (|id| = 1-based rank into round r's table), junk beyond
-          nos[r];
-    nos:  (R,) i32 per-round occurrence counts.
-
-    Returns (table_sorted (MT, w) — first sum(njs) rows are the global
-    k-mer-sorted dictionary, rest sentinel; occ_pos (MO,) u32 and
-    occ_ids (MO,) i32 sorted by position — first sum(nos) rows real).
-
-    Rounds partition the hash space, so round tables are disjoint and
-    the global rank of a row is just its index after one sort; sentinel
-    rows order strictly after any real k-mer because k is odd (an
-    all-ones last word is impossible, see judge_records).
-    """
-    w = tabs[0].shape[1]
-    capsT = [t.shape[0] for t in tabs]
-    offs_np = [0]
-    for c in capsT[:-1]:
-        offs_np.append(offs_np[-1] + c)
-    offs = jnp.asarray(offs_np, jnp.int32)
-
-    words = jnp.concatenate(tabs, 0)
-    rtagT = jnp.concatenate(
-        [jnp.full(c, r, U32) for r, c in enumerate(capsT)]
-    )
-    lrankT = jnp.concatenate(
-        [jnp.arange(c, dtype=U32) for c in capsT]
-    )
-    realT = lrankT < njs[rtagT].astype(U32)
-    wordsS = jnp.where(realT[:, None], words, SENTINEL_WORD)
-    cols = jax.lax.sort(
-        tuple(wordsS[:, i] for i in range(w)) + (rtagT, lrankT),
-        num_keys=w,
-    )
-    table_sorted = jnp.stack(cols[:w], axis=-1)
-    M = words.shape[0]
-    flat = offs[cols[w].astype(jnp.int32)] + cols[w + 1].astype(jnp.int32)
-    flat = jax.lax.optimization_barrier(flat)
-    remap = (
-        jnp.zeros(M, jnp.int32)
-        .at[flat]
-        .set(jnp.arange(M, dtype=jnp.int32), mode="promise_in_bounds")
-    )
-
-    capsO = [o[0].shape[0] for o in ops]
-    n_comp = len(ops[0])
-    opc = tuple(
-        jnp.concatenate([o[c] for o in ops]) for c in range(n_comp)
-    )
-    oic = jnp.concatenate(ois)
-    rtagO = jnp.concatenate(
-        [jnp.full(c, r, jnp.int32) for r, c in enumerate(capsO)]
-    )
-    lidxO = jnp.concatenate(
-        [jnp.arange(c, dtype=jnp.int32) for c in capsO]
-    )
-    realO = lidxO < nos[rtagO]
-    a = jnp.where(realO, offs[rtagO] + (jnp.abs(oic) - 1), 0)
-    a = jax.lax.optimization_barrier(a)
-    grank = remap[a]
-    gid = jnp.where(oic < 0, -(grank + 1), grank + 1)
-    gid = jnp.where(realO, gid, 0)
-    opS = tuple(
-        jnp.where(realO, o, U32(0xFFFFFFFF)) for o in opc
-    )
-    cols2 = jax.lax.sort(
-        ((~realO).astype(U32),) + opS + (gid,), num_keys=1 + n_comp
-    )
-    return table_sorted, tuple(cols2[1 : 1 + n_comp]), cols2[1 + n_comp]
-
-
 def _stream_round_buffers(
     dev_batches, low, high, buf_slots, cfg, *, single, wide=False
 ):
@@ -1093,60 +1012,9 @@ def build_junctions_sorted(
         checkpoint_dir, config, n_slots, intervals, fingerprint
     )
 
-    # device-resident finale: keep every round's compacted results in
-    # HBM and merge them in one device program (_finale) — no per-round
-    # fetches or host sorts. The rounds pipeline without ANY host sync
-    # (counts are settled in one fetch, bounded by an HBM budget guard).
-    # Checkpointing needs host copies per round, so it takes the
-    # host-merge path instead.
-    device_finale = checkpoint_dir is None and (
-        os.environ.get("TWOPACO_DEVICE_FINALE", "1") != "0"
-    )
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
-    dev_tabs: list = []
-    dev_ops: list = []
-    dev_ois: list = []
-    njunc_l: list[int] = []
-    nocc_l: list[int] = []
     judge_chunk = min(JUDGE_CHUNK, buf_slots)
-
-    pend_bufs: list = []  # unsettled (tab_buf, op_buf, oi_buf)
-    pend_counts: list = []  # matching (3,) device count vectors
-    pend_stats: list = []  # matching stats.rounds dicts to fill
-    per_round_bytes = (buf_slots + judge_chunk) * 4 * (cfg.w + 2)
-    max_pending = max(1, (4 << 30) // max(per_round_bytes, 1))
-
-    def settle_pending():
-        """Fetch pending rounds' counts (one RPC) and shrink their
-        buffers to bucketed caps, freeing the full-size ones."""
-        if not pend_counts:
-            return
-        counts = np.asarray(jnp.stack(pend_counts))  # (n, 3) int64
-        for (tab_buf, op_buf, oi_buf), cnts, rstats in zip(
-            pend_bufs, counts, pend_stats
-        ):
-            n_groups, n_junc, n_occ = (int(x) for x in cnts)
-            m = op_buf[0].shape[0]
-            cap_t = _bucket_cap(max(n_junc, 1), m)
-            cap_o = _bucket_cap(max(n_occ, 1), m)
-            dev_tabs.append(tab_buf[:cap_t])
-            dev_ops.append(tuple(b[:cap_o] for b in op_buf))
-            dev_ois.append(oi_buf[:cap_o])
-            njunc_l.append(n_junc)
-            nocc_l.append(n_occ)
-            rstats.update(
-                marks=n_occ,
-                hash_table_size=n_groups,
-                true_junctions=n_junc,
-            )
-            log(
-                f"True junctions = {n_junc}\n"
-                f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
-            )
-        pend_bufs.clear()
-        pend_counts.clear()
-        pend_stats.clear()
 
     for r, (low, high) in enumerate(intervals):
         restored = ckpt.load_round(r)
@@ -1176,20 +1044,11 @@ def build_junctions_sorted(
         t_sort = time.time() - t0
 
         t0 = time.time()
-        if device_finale:
-            tab_buf, op_buf, oi_buf, g_d, j_d, o_d = judge_compact_fused(
-                sw, pay, pos, abundance_d,
-                check_abundance=check_ab, chunk=judge_chunk,
-            )
-            pend_bufs.append((tab_buf, op_buf, oi_buf))
-            pend_counts.append(jnp.stack([g_d, j_d, o_d]))
-            n_groups = n_junc = n_occ = -1  # settled later
-        else:
-            table, op, oi, n_groups, n_junc, n_occ = _finish_round(
-                sw, pay, pos, abundance_d, check_ab, judge_chunk, cfg.w
-            )
-            round_occ.append((op, oi))
-            round_tables.append(table)
+        table, op, oi, n_groups, n_junc, n_occ = _finish_round(
+            sw, pay, pos, abundance_d, check_ab, judge_chunk, cfg.w
+        )
+        round_occ.append((op, oi))
+        round_tables.append(table)
         t_finish = time.time() - t0
         del sw, pay, pos
         stats.rounds.append(
@@ -1200,9 +1059,10 @@ def build_junctions_sorted(
                 hash_table_size=n_groups,
                 true_junctions=n_junc,
                 false_positives=0,
-                # t_build/t_sort/t_finish are async dispatch walls (the
-                # device-finale loop never syncs); per-phase device
-                # attribution needs a profiler trace, --tpu-profile
+                # t_build/t_sort are async dispatch walls; t_finish
+                # includes the waits + fetches (the honest per-round
+                # total is their sum; per-phase device attribution
+                # needs a profiler trace, --tpu-profile)
                 t_build=t_build,
                 t_sort=t_sort,
                 t_finish=t_finish,
@@ -1210,43 +1070,15 @@ def build_junctions_sorted(
         )
         log(
             f"Assemble\t{t_build:.1f}\nSort\t{t_sort:.1f}\n"
-            f"Judge+compact\t{t_finish:.1f}"
+            f"Judge+compact\t{t_finish:.1f}\nTrue junctions = {n_junc}\n"
+            f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
         )
-        if device_finale:
-            pend_stats.append(stats.rounds[-1])
-            if len(pend_bufs) >= max_pending:
-                settle_pending()
-        else:
-            log(
-                f"True junctions = {n_junc}\n"
-                f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
-            )
-            ckpt.save_round(
-                r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
-                stats.rounds[-1],
-            )
+        ckpt.save_round(
+            r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
+            stats.rounds[-1],
+        )
 
     parts_w = parts_pay = parts_pos = None  # release resident parts
-    if device_finale:
-        t0 = time.time()
-        settle_pending()
-        njs_d = jnp.asarray(np.asarray(njunc_l, np.int32))
-        nos_d = jnp.asarray(np.asarray(nocc_l, np.int32))
-        tabS, opS, gidS = _finale(
-            tuple(dev_tabs), njs_d, tuple(dev_ops), tuple(dev_ois), nos_d
-        )
-        del dev_tabs, dev_ops, dev_ois
-        J, TO = int(sum(njunc_l)), int(sum(nocc_l))
-        capJ = _bucket_cap(max(J, 1), tabS.shape[0])
-        capO = _bucket_cap(max(TO, 1), opS[0].shape[0])
-        table = np.asarray(tabS[:capJ])[:J]
-        occ_pos = _host_pos([o[:capO] for o in opS])[:TO]
-        occ_ids = np.asarray(gidS[:capO])[:TO].astype(np.int64)
-        stats.timings["dict"] = time.time() - t0
-        return finish_emit(
-            table, occ_pos, occ_ids, batches, cfg, config, out_path,
-            stats, log, t_start,
-        )
     return merge_rounds_and_emit(
         round_tables, round_occ, batches, cfg, config, out_path, stats,
         log, t_start,
