@@ -780,10 +780,14 @@ def _stream_round_buffers(
 
 
 def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
-    """Judge + compact one sorted round on device (single dispatch),
-    then fetch exactly-bucketed slices. Returns host arrays
-    (table (n_junc, w) k-mer order, occ_pos/occ_ids (n_occ,) by
-    position) + (n_groups, n_junc, n_occ) ints."""
+    """Judge + compact one sorted round on device (single dispatch).
+
+    Fetches only the three 8-byte counts (which forces the round's
+    execution — honest per-round timing), slices pow2-bucketed views
+    and starts their device->host copies asynchronously so the
+    transfers overlap the NEXT round's compute. Returns
+    (table_dev (cap_t, w), op_dev tuple, oi_dev (cap_o,),
+    n_groups, n_junc, n_occ); `_round_to_host` finalizes."""
     tab_buf, op_buf, oi_buf, n_groups, n_junc, n_occ = judge_compact_fused(
         sw, pay, pos, abundance, check_abundance=check_ab, chunk=chunk
     )
@@ -792,11 +796,24 @@ def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
     # fetch pow2-bucketed slices, not whole buffers (tunnel ~40-64 MB/s)
     cap_t = _bucket_cap(max(n_junc, 1), m)
     cap_o = _bucket_cap(max(n_occ, 1), m)
-    table = np.asarray(tab_buf[:cap_t])[:n_junc]
-    op = _host_pos([b[:cap_o] for b in op_buf])[:n_occ]
-    oi = np.asarray(oi_buf[:cap_o])[:n_occ]
-    order = np.argsort(op, kind="stable")  # occurrences by position
-    return table, op[order], oi[order], n_groups, n_junc, n_occ
+    table = tab_buf[:cap_t]
+    op = tuple(b[:cap_o] for b in op_buf)
+    oi = oi_buf[:cap_o]
+    for a in (table,) + op + (oi,):
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass  # backends without async copies fall back to sync fetch
+    return table, op, oi, n_groups, n_junc, n_occ
+
+
+def _round_to_host(table_dev, op_dev, oi_dev, n_junc, n_occ):
+    """Materialize one round's async-copied results as exact-size host
+    arrays (table (n_junc, w), occ_pos int64, occ_ids)."""
+    table = np.asarray(table_dev)[:n_junc]
+    op = _host_pos(op_dev)[:n_occ]
+    oi = np.asarray(oi_dev)[:n_occ]
+    return table, op, oi
 
 
 class _Checkpoint(RoundCheckpoint):
@@ -1044,11 +1061,19 @@ def build_junctions_sorted(
         t_sort = time.time() - t0
 
         t0 = time.time()
-        table, op, oi, n_groups, n_junc, n_occ = _finish_round(
+        tab_d, op_d, oi_d, n_groups, n_junc, n_occ = _finish_round(
             sw, pay, pos, abundance_d, check_ab, judge_chunk, cfg.w
         )
-        round_occ.append((op, oi))
-        round_tables.append(table)
+        if checkpoint_dir is not None:
+            # durable path: materialize now so the round can be saved
+            table, op, oi = _round_to_host(tab_d, op_d, oi_d, n_junc, n_occ)
+            round_occ.append((op, oi))
+            round_tables.append(table)
+        else:
+            # fast path: the async device->host copies overlap the next
+            # round's compute; materialized after the loop
+            round_occ.append((op_d, oi_d, n_occ))
+            round_tables.append((tab_d, n_junc))
         t_finish = time.time() - t0
         del sw, pay, pos
         stats.rounds.append(
@@ -1073,12 +1098,22 @@ def build_junctions_sorted(
             f"Judge+compact\t{t_finish:.1f}\nTrue junctions = {n_junc}\n"
             f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
         )
-        ckpt.save_round(
-            r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
-            stats.rounds[-1],
-        )
+        if checkpoint_dir is not None:
+            ckpt.save_round(
+                r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
+                stats.rounds[-1],
+            )
 
     parts_w = parts_pay = parts_pos = None  # release resident parts
+    if checkpoint_dir is None:
+        # collect the overlapped copies (most finished rounds ago)
+        round_tables = [
+            np.asarray(t)[:nj] for t, nj in round_tables
+        ]
+        round_occ = [
+            (_host_pos(op)[:no], np.asarray(oi)[:no])
+            for op, oi, no in round_occ
+        ]
     return merge_rounds_and_emit(
         round_tables, round_occ, batches, cfg, config, out_path, stats,
         log, t_start,
@@ -1094,8 +1129,9 @@ def merge_rounds_and_emit(
     dictionary, remap per-round local ids to global ranks, and emit the
     junction list (reference pass 4, vertexenumerator.h:856-993).
 
-    round_occ[r] = (occ_pos sorted by position, signed local ids where
-    |id| = 1-based rank into round_tables[r]'s rows)."""
+    round_occ[r] = (occ_pos, signed local ids where |id| = 1-based rank
+    into round_tables[r]'s rows); any order — the global position sort
+    happens here."""
     # ---- merge rounds: global dictionary + id remap --------------------
     t0 = time.time()
     if sum(len(t) for t in round_tables):
