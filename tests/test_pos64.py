@@ -62,6 +62,33 @@ def test_batch_records_wide_positions():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("wide", ["0", "1"])
+def test_scan_stream_mode_byte_identical(tmp_path, monkeypatch, wide):
+    """The non-resident multi-round path (one lax.scan program per
+    round over stacked batches) must match resident-parts output
+    byte-for-byte, in both narrow and wide position modes."""
+    rng = np.random.default_rng(123)
+    base = oracle.generate_sequence(rng, 1500)
+    seqs = [base] + [
+        oracle.mutate_sequence(rng, base, 0.03, 0.1) for _ in range(2)
+    ]
+    sequences = [(i, s) for i, s in enumerate(map(dna.encode, seqs))]
+    monkeypatch.setenv("TWOPACO_POS64", wide)
+    outs = {}
+    for mode in ("resident", "stream"):
+        monkeypatch.setenv(
+            "TWOPACO_RESIDENT", "1" if mode == "resident" else "0"
+        )
+        cfg = PipelineConfig(
+            k=9, filter_bits=20, rounds=3,
+            positions_per_row=256, rows_per_batch=4,
+        )
+        out = str(tmp_path / f"{mode}{wide}.bin")
+        build_junctions(None, cfg, out_path=out, sequences=sequences)
+        outs[mode] = open(out, "rb").read()
+    assert outs["resident"] == outs["stream"]
+
+
 @pytest.mark.parametrize("rounds", [1, 3])
 def test_wide_path_byte_identical(tmp_path, monkeypatch, rounds):
     """Forced wide positions must produce a byte-identical .dbg on a

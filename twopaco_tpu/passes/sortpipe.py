@@ -723,60 +723,98 @@ def compact_words_chunked(flag, words, total: int) -> np.ndarray:
     return np.asarray(buf[:cap])[:total]
 
 
-def _stream_round_buffers(
-    dev_batches, low, high, buf_slots, cfg, *, single, wide=False
-):
-    """Build one round's sentinel-padded sort buffers by re-streaming the
-    resident window batches through build_sort_records (the analogue of
-    the reference re-streaming FASTA per round,
-    vertexenumerator.h:228-392). Used when records don't fit the
-    resident-parts HBM budget, or in single-round mode (where no
-    per-round rebuild happens anyway)."""
-    low_d, high_d = jnp.uint32(low), jnp.uint32(high)
+def _stream_single_round(dev_batches, buf_slots, cfg, *, wide=False):
+    """Single-round buffer: stream every batch through
+    build_sort_records with direct whole-batch appends — rows land at
+    row0*P <= buf_slots - B*P, never clamped, so no compaction is
+    needed (multi-round streaming uses _stream_round_scan instead)."""
+    low_d, high_d = jnp.uint32(0), jnp.uint32(0xFFFFFFFF)
     n_comp = 2 if wide else 1
     buf_w = jnp.full((buf_slots, cfg.w), SENTINEL_WORD, U32)
     buf_pay = jnp.zeros(buf_slots, U32)
     buf_pos = tuple(jnp.zeros(buf_slots, U32) for _ in range(n_comp))
-    if single:
-        # direct whole-batch appends: rows land at row0*P <= n_slots -
-        # B*P <= buf_slots - B*P, never clamped — no compaction needed
-        for codes_d, valid_d, row0 in dev_batches:
-            words, payload, pos = build_sort_records(
-                codes_d, valid_d, _pos_base(row0, cfg.P, wide),
-                low_d, high_d, cfg=cfg,
-            )
-            buf_w, buf_pay, buf_pos = append_records(
-                buf_w, buf_pay, buf_pos, words, payload, pos,
-                jnp.int32(row0 * cfg.P),
-            )
-        return buf_w, buf_pay, buf_pos
-    pend = []
     for codes_d, valid_d, row0 in dev_batches:
         words, payload, pos = build_sort_records(
             codes_d, valid_d, _pos_base(row0, cfg.P, wide),
             low_d, high_d, cfg=cfg,
         )
-        pend.append(
-            compact_batch_records(words, payload, pos, cap=cfg.B * cfg.P)
-        )
-    # one fetch for all counts instead of a sync per batch
-    all_counts = np.asarray(jnp.stack([cnt for *_x, cnt in pend]))
-    offset = 0
-    for (cw, cp, cpos, _c), cnt in zip(pend, all_counts):
-        cnt = int(cnt)
-        if offset + cnt > buf_slots - cfg.B * cfg.P:
-            raise RuntimeError(
-                "round record buffer overflow — increase rounds (-r) "
-                "or PipelineConfig.round_slack"
-            )
-        # always append the full fixed-size block (ONE compiled append
-        # program); the sentinel tail beyond cnt is overwritten by the
-        # next append or stays sentinel
         buf_w, buf_pay, buf_pos = append_records(
-            buf_w, buf_pay, buf_pos, cw, cp, cpos, jnp.int32(offset)
+            buf_w, buf_pay, buf_pos, words, payload, pos,
+            jnp.int32(row0 * cfg.P),
         )
-        offset += cnt
     return buf_w, buf_pay, buf_pos
+
+
+@partial(jax.jit, static_argnames=("cfg", "buf_slots"))
+def _stream_round_scan(codes_st, valid_st, base_st, low, high, *, cfg, buf_slots):
+    """All stacked batches -> one round's sentinel-padded sort buffer in
+    ONE compiled program: lax.scan over batches (build records, compact
+    the in-round ones, append). Replaces 2 dispatches per batch per
+    round with 1 dispatch per round — at hundreds of rounds x hundreds
+    of batches (multi-Gbase inputs) the dispatch latency alone
+    otherwise dominates (the reference's analogue is its sequential
+    re-stream of FASTA each round, vertexenumerator.h:228-392).
+
+    codes_st: stacked device batches — (packed (nb,B,RW), nmask
+    (nb,B,NW)) or raw (nb,B,R); valid_st (nb,B); base_st: tuple of 1-2
+    (nb,) u32 position-base columns (see _pos_base).
+
+    Returns (buf_w, buf_pay, buf_pos tuple, overflow flag) — caller
+    MUST check overflow (records past buf_slots - B*P were dropped).
+    """
+    bp = cfg.B * cfg.P
+    n_comp = len(base_st)
+    buf_w0 = jnp.full((buf_slots, cfg.w), SENTINEL_WORD, U32)
+    buf_pay0 = jnp.zeros(buf_slots, U32)
+    buf_pos0 = tuple(jnp.zeros(buf_slots, U32) for _ in range(n_comp))
+    lim = jnp.int32(buf_slots - bp)
+
+    def step(carry, xs):
+        buf_w, buf_pay, buf_pos, off, over = carry
+        codes, valid, base = xs
+        words, payload, pos = build_sort_records(
+            codes, valid, base, low, high, cfg=cfg
+        )
+        cw, cp, cpos, cnt = compact_batch_records(
+            words, payload, pos, cap=bp
+        )
+        over = over | (off + cnt > lim)
+        off_c = jnp.minimum(off, lim)  # clamped write is junk-safe:
+        # the overflow flag is checked on host before results are used
+        buf_w = jax.lax.dynamic_update_slice(
+            buf_w, cw, (off_c, jnp.int32(0))
+        )
+        buf_pay = jax.lax.dynamic_update_slice(buf_pay, cp, (off_c,))
+        buf_pos = tuple(
+            jax.lax.dynamic_update_slice(b, p, (off_c,))
+            for b, p in zip(buf_pos, cpos)
+        )
+        return (buf_w, buf_pay, buf_pos, off_c + cnt, over), None
+
+    init = (buf_w0, buf_pay0, buf_pos0, jnp.int32(0), jnp.asarray(False))
+    (buf_w, buf_pay, buf_pos, _off, over), _ = jax.lax.scan(
+        step, init, (codes_st, valid_st, base_st)
+    )
+    return buf_w, buf_pay, buf_pos, over
+
+
+def _stack_batches(dev_batches, P: int, wide: bool):
+    """Stack per-batch device arrays along a new leading axis for
+    _stream_round_scan; bases computed host-exact per batch."""
+    first = dev_batches[0][0]
+    if isinstance(first, tuple):
+        codes_st = tuple(
+            jnp.stack([b[0][c] for b in dev_batches])
+            for c in range(len(first))
+        )
+    else:
+        codes_st = jnp.stack([b[0] for b in dev_batches])
+    valid_st = jnp.stack([b[1] for b in dev_batches])
+    bases = [_pos_base(row0, P, wide) for _c, _v, row0 in dev_batches]
+    base_st = tuple(
+        jnp.stack([b[c] for b in bases]) for c in range(len(bases[0]))
+    )
+    return codes_st, valid_st, base_st
 
 
 def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
@@ -1032,6 +1070,7 @@ def build_junctions_sorted(
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
     judge_chunk = min(JUDGE_CHUNK, buf_slots)
+    stacked = None  # lazily stacked batches for the scan-stream path
 
     for r, (low, high) in enumerate(intervals):
         restored = ckpt.load_round(r)
@@ -1049,11 +1088,22 @@ def build_junctions_sorted(
                 jnp.int32(r), parts_w, parts_pay, parts_pos,
                 buf_slots=buf_slots,
             )
-        else:
-            buf_w, buf_pay, buf_pos = _stream_round_buffers(
-                dev_batches, low, high, buf_slots, cfg,
-                single=len(intervals) == 1, wide=wide,
+        elif len(intervals) == 1:
+            buf_w, buf_pay, buf_pos = _stream_single_round(
+                dev_batches, buf_slots, cfg, wide=wide,
             )
+        else:
+            if stacked is None:
+                stacked = _stack_batches(dev_batches, cfg.P, wide)
+            buf_w, buf_pay, buf_pos, over = _stream_round_scan(
+                *stacked, jnp.uint32(low), jnp.uint32(high),
+                cfg=cfg, buf_slots=buf_slots,
+            )
+            if bool(over):
+                raise RuntimeError(
+                    "round record buffer overflow — increase rounds "
+                    "(-r) or PipelineConfig.round_slack"
+                )
         t_build = time.time() - t0
 
         t0 = time.time()
