@@ -1,0 +1,110 @@
+"""≥5 Gbase single-chip run (wide-position + scan-stream demo).
+
+Proves the sort engine's >4.2 Gbase path end-to-end on real hardware:
+5 Gbases forces wide (u32-pair) flat positions and the non-resident
+scan-stream mode with checkpointed rounds. Writes the junction binary,
+then validates well-formedness (parseable records, per-chromosome
+nondecreasing positions, stub/junction id ranges) and records
+RUN_BIG.json at the repo root.
+
+Run SOLO on the TPU: python scripts/run_big.py [total_gbases]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def write_big_fasta(path: str, n_seqs: int, length: int, seed: int = 5) -> None:
+    marker = f"{path}.ok-{n_seqs}x{length}"
+    if os.path.exists(marker) and os.path.exists(path):
+        return
+    rng = np.random.default_rng(seed)
+    base = _ALPHA[rng.integers(0, 4, size=length)]
+    with open(path, "wb") as f:
+        for i in range(n_seqs):
+            s = base
+            if i:
+                s = base.copy()
+                flip = rng.random(length) < 0.01
+                s[flip] = _ALPHA[rng.integers(0, 4, size=int(flip.sum()))]
+            f.write(f">big{i}\n".encode())
+            f.write(s.tobytes())
+            f.write(b"\n")
+    open(marker, "w").write("ok\n")
+
+
+def validate(out: str, n_seqs: int, length: int, n_junc: int) -> dict:
+    from twopaco_tpu.io import junctions
+    from twopaco_tpu.passes.pipeline import STUB_ID_OFFSET
+
+    c, pos, ids = junctions.read_junctions(out)
+    ok_chr = bool((np.diff(c) >= 0).all()) and int(c.max()) == n_seqs - 1
+    # positions nondecreasing within each chromosome
+    brk = np.flatnonzero(np.diff(c) != 0)
+    d = np.diff(pos.astype(np.int64))
+    d[brk] = 0
+    ok_pos = bool((d >= 0).all()) and int(pos.max()) < length
+    aid = np.abs(ids)
+    ok_ids = bool(
+        (((aid >= 1) & (aid <= n_junc))
+         | (aid >= n_junc + STUB_ID_OFFSET)).all()
+    )
+    return dict(
+        records=int(len(ids)),
+        chr_ok=ok_chr,
+        pos_ok=ok_pos,
+        ids_ok=ok_ids,
+    )
+
+
+def main():
+    gb = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
+    n_seqs, length = 10, int(gb * 1e9 / 10)
+    fa = "/tmp/twopaco_big.fa"
+    out = "/tmp/twopaco_big.dbg"
+    print(f"generating {n_seqs} x {length/1e6:.0f} Mb ...", flush=True)
+    write_big_fasta(fa, n_seqs, length)
+
+    from twopaco_tpu.passes import PipelineConfig, build_junctions
+
+    cfg = PipelineConfig(
+        k=25,
+        filter_bits=30,
+        positions_per_row=16384,
+        rows_per_batch=128,
+        sort_chunk=1 << 24,
+    )
+    t0 = time.time()
+    enum = build_junctions(
+        [fa], cfg, out_path=out,
+        log=lambda s: print(s, flush=True),
+        checkpoint_dir="/tmp/twopaco_big_ckpt",
+    )
+    dt = time.time() - t0
+    total = n_seqs * length
+    res = dict(
+        total_bases=total,
+        seconds=round(dt, 2),
+        mbases_per_sec=round(total / dt / 1e6, 3),
+        distinct_junctions=enum.vertices_count,
+        occurrences=enum.stats.occurrences,
+        rounds=len(enum.stats.rounds),
+        wide_positions=total >= (1 << 32),
+        validate=validate(out, n_seqs, length, enum.vertices_count),
+        timings={k: round(v, 2) for k, v in enum.stats.timings.items()},
+    )
+    print(json.dumps(res), flush=True)
+    json.dump(res, open(os.path.join(REPO, "RUN_BIG.json"), "w"), indent=2)
+
+
+if __name__ == "__main__":
+    main()
