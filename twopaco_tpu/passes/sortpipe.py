@@ -821,11 +821,12 @@ def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
     """Judge + compact one sorted round on device (single dispatch).
 
     Fetches only the three 8-byte counts (which forces the round's
-    execution — honest per-round timing), slices pow2-bucketed views
-    and starts their device->host copies asynchronously so the
-    transfers overlap the NEXT round's compute. Returns
-    (table_dev (cap_t, w), op_dev tuple, oi_dev (cap_o,),
-    n_groups, n_junc, n_occ); `_round_to_host` finalizes."""
+    execution — honest per-round timing) and returns pow2-bucketed
+    device slices; `_round_to_host` materializes them later, off the
+    round critical path. (copy_to_host_async is deliberately NOT used:
+    on the axon runtime it makes the subsequent fetch hang forever.)
+    Returns (table_dev (cap_t, w), op_dev tuple, oi_dev (cap_o,),
+    n_groups, n_junc, n_occ)."""
     tab_buf, op_buf, oi_buf, n_groups, n_junc, n_occ = judge_compact_fused(
         sw, pay, pos, abundance, check_abundance=check_ab, chunk=chunk
     )
@@ -834,15 +835,14 @@ def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
     # fetch pow2-bucketed slices, not whole buffers (tunnel ~40-64 MB/s)
     cap_t = _bucket_cap(max(n_junc, 1), m)
     cap_o = _bucket_cap(max(n_occ, 1), m)
-    table = tab_buf[:cap_t]
-    op = tuple(b[:cap_o] for b in op_buf)
-    oi = oi_buf[:cap_o]
-    for a in (table,) + op + (oi,):
-        try:
-            a.copy_to_host_async()
-        except Exception:
-            pass  # backends without async copies fall back to sync fetch
-    return table, op, oi, n_groups, n_junc, n_occ
+    return (
+        tab_buf[:cap_t],
+        tuple(b[:cap_o] for b in op_buf),
+        oi_buf[:cap_o],
+        n_groups,
+        n_junc,
+        n_occ,
+    )
 
 
 def _round_to_host(table_dev, op_dev, oi_dev, n_junc, n_occ):
