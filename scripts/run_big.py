@@ -76,19 +76,29 @@ def main():
 
     from twopaco_tpu.passes import PipelineConfig, build_junctions
 
-    cfg = PipelineConfig(
-        k=25,
-        filter_bits=30,
-        positions_per_row=16384,
-        rows_per_batch=128,
-        sort_chunk=1 << 24,
-    )
     t0 = time.time()
-    enum = build_junctions(
-        [fa], cfg, out_path=out,
-        log=lambda s: print(s, flush=True),
-        checkpoint_dir="/tmp/twopaco_big_ckpt",
-    )
+    # bigger sort buffers halve the round count (each round re-hashes
+    # the whole input, reference-style); fall back if the remote XLA
+    # service can't compile the larger sort program
+    for chunk_pow in (25, 24, 22):
+        cfg = PipelineConfig(
+            k=25,
+            filter_bits=30,
+            positions_per_row=16384,
+            rows_per_batch=128,
+            sort_chunk=1 << chunk_pow,
+        )
+        try:
+            enum = build_junctions(
+                [fa], cfg, out_path=out,
+                log=lambda s: print(s, flush=True),
+                checkpoint_dir="/tmp/twopaco_big_ckpt",
+            )
+            break
+        except Exception as e:
+            print(f"sort_chunk 2^{chunk_pow} failed: {e}", flush=True)
+            if chunk_pow == 22:
+                raise
     dt = time.time() - t0
     total = n_seqs * length
     res = dict(

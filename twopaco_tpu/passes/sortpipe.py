@@ -1095,6 +1095,7 @@ def build_junctions_sorted(
         else:
             if stacked is None:
                 stacked = _stack_batches(dev_batches, cfg.P, wide)
+                dev_batches = None  # free the per-batch device copies
             buf_w, buf_pay, buf_pos, over = _stream_round_scan(
                 *stacked, jnp.uint32(low), jnp.uint32(high),
                 cfg=cfg, buf_slots=buf_slots,
