@@ -592,6 +592,7 @@ def build_junctions(
         t0 = time.time()
         table_d = jnp.asarray(table)
         pending = []
+        caps = set()
         for bi, (codes_d, valid_d) in enumerate(dev_batches):
             packed = round_masks[0][bi].copy()
             bound = round_counts[0][bi]
@@ -599,11 +600,15 @@ def build_junctions(
                 packed |= rm[bi]
                 bound += rc_[bi]
             cap = _bucket_cap(bound, cfg.B * cfg.P)
+            caps.add(cap)
             pos_f, ids_f, cnt = kernels.pass4_lookup(
                 codes_d, jnp.asarray(packed), valid_d, table_d,
                 cfg=cfg, cap=cap,
             )
             pending.append((pos_f, ids_f, cnt))
+        stats.timings["pass4_dispatch"] = time.time() - t0
+        log(f"Pass 4 caps: {sorted(caps)}")
+        t0 = time.time()
         all_pos: list[np.ndarray] = []
         all_ids: list[np.ndarray] = []
         for b, (pos_f, ids_f, cnt) in zip(batches, pending):
@@ -613,6 +618,8 @@ def build_junctions(
                 np.asarray(pos_f)[:cnt].astype(np.int64) + b.row0 * cfg.P
             )
             all_ids.append(np.asarray(ids_f)[:cnt].astype(np.int64))
+        stats.timings["pass4_fetch"] = time.time() - t0
+        t0 = time.time()
         occ_pos = (
             np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
         )
@@ -620,7 +627,8 @@ def build_junctions(
             np.concatenate(all_ids) if all_ids else np.zeros(0, np.int64)
         )
         occurrences, n_stubs = emit_junctions(
-            out_path, batches, occ_pos, occ_ids, len(table), cfg.P
+            out_path, batches, occ_pos, occ_ids, len(table), cfg.P,
+            timings=stats.timings,
         )
         stats.occurrences = occurrences
         stats.stub_ids = n_stubs
