@@ -591,23 +591,29 @@ def build_junctions(
     if out_path is not None:
         t0 = time.time()
         table_d = jnp.asarray(table)
-        pending = []
-        caps = set()
-        for bi, (codes_d, valid_d) in enumerate(dev_batches):
+        masks_or = []
+        bound_max = 1
+        for bi in range(len(dev_batches)):
             packed = round_masks[0][bi].copy()
             bound = round_counts[0][bi]
             for rm, rc_ in zip(round_masks[1:], round_counts[1:]):
                 packed |= rm[bi]
                 bound += rc_[bi]
-            cap = _bucket_cap(bound, cfg.B * cfg.P)
-            caps.add(cap)
+            masks_or.append(packed)
+            bound_max = max(bound_max, bound)
+        # ONE cap for every batch: per-batch buckets minted a fresh
+        # (minutes-long) remote pass4 compile whenever a batch crossed
+        # a pow2 boundary between runs
+        cap = _bucket_cap(bound_max, cfg.B * cfg.P)
+        pending = []
+        for (codes_d, valid_d), packed in zip(dev_batches, masks_or):
             pos_f, ids_f, cnt = kernels.pass4_lookup(
                 codes_d, jnp.asarray(packed), valid_d, table_d,
                 cfg=cfg, cap=cap,
             )
             pending.append((pos_f, ids_f, cnt))
         stats.timings["pass4_dispatch"] = time.time() - t0
-        log(f"Pass 4 caps: {sorted(caps)}")
+        log(f"Pass 4 cap: {cap}")
         t0 = time.time()
         all_pos: list[np.ndarray] = []
         all_ids: list[np.ndarray] = []
