@@ -492,10 +492,12 @@ def build_junctions(
                 filt, codes_d, valid_d, low_d, high_d, cfg=cfg
             )
             pending.append((codes_d, packed, cnt))
+        counts_now = [int(cnt) for _c, _p, cnt in pending]
+        # one extraction cap for every batch (per-batch buckets mint
+        # fresh remote compiles when counts drift across runs)
+        cap = _bucket_cap(max(counts_now + [1]), cfg.B * cfg.P)
         pending2 = []
-        for codes_d, packed, cnt in pending:
-            count = int(cnt)
-            cap = _bucket_cap(count, cfg.B * cfg.P)
+        for (codes_d, packed, _cnt), count in zip(pending, counts_now):
             words, in_c, out_c, _c = kernels.extract_records(
                 codes_d, packed, cfg=cfg, cap=cap
             )
