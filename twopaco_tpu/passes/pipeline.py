@@ -492,7 +492,12 @@ def build_junctions(
                 filt, codes_d, valid_d, low_d, high_d, cfg=cfg
             )
             pending.append((codes_d, packed, cnt))
-        counts_now = [int(cnt) for _c, _p, cnt in pending]
+        # one fetch for every batch's count (a scalar RPC each otherwise)
+        counts_now = [
+            int(c) for c in np.asarray(
+                jnp.stack([cnt for _c, _p, cnt in pending])
+            )
+        ]
         # one extraction cap for every batch (per-batch buckets mint
         # fresh remote compiles when counts drift across runs)
         cap = _bucket_cap(max(counts_now + [1]), cfg.B * cfg.P)
@@ -619,7 +624,8 @@ def build_junctions(
         t0 = time.time()
         all_pos: list[np.ndarray] = []
         all_ids: list[np.ndarray] = []
-        for b, (pos_f, ids_f, cnt) in zip(batches, pending):
+        cnts = np.asarray(jnp.stack([cnt for _p, _i, cnt in pending]))
+        for b, (pos_f, ids_f, _c), cnt in zip(batches, pending, cnts):
             cnt = int(cnt)
             # batch-local flat positions -> global (row * P + col)
             all_pos.append(
