@@ -24,20 +24,29 @@ _ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def write_big_fasta(path: str, n_seqs: int, length: int, seed: int = 5) -> None:
+    """Chunked generation: one warm 64M scratch per stream instead of
+    multi-GB temporaries (first-touch page faults cost ~100us on this
+    VM — a fresh 4 GB array would burn minutes before any work)."""
     marker = f"{path}.ok-{n_seqs}x{length}"
     if os.path.exists(marker) and os.path.exists(path):
         return
-    rng = np.random.default_rng(seed)
-    base = _ALPHA[rng.integers(0, 4, size=length)]
+    chunk = 64 << 20
+    base_rng = np.random.default_rng(seed)
+    chunk_seeds = base_rng.integers(0, 1 << 62, size=-(-length // chunk))
     with open(path, "wb") as f:
         for i in range(n_seqs):
-            s = base
-            if i:
-                s = base.copy()
-                flip = rng.random(length) < 0.01
-                s[flip] = _ALPHA[rng.integers(0, 4, size=int(flip.sum()))]
             f.write(f">big{i}\n".encode())
-            f.write(s.tobytes())
+            mut_rng = np.random.default_rng(seed + 1000 + i)
+            for c, cs in enumerate(chunk_seeds):
+                n = min(chunk, length - c * chunk)
+                crng = np.random.default_rng(cs)
+                s = _ALPHA[crng.integers(0, 4, size=n)]
+                if i:
+                    flip = mut_rng.random(n) < 0.01
+                    s[flip] = _ALPHA[
+                        mut_rng.integers(0, 4, size=int(flip.sum()))
+                    ]
+                f.write(s.tobytes())
             f.write(b"\n")
     open(marker, "w").write("ok\n")
 
