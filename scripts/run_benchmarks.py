@@ -73,13 +73,14 @@ def run_reference(fa, cfg, threads, out):
 def run_ours(fa, cfg, out):
     env = dict(os.environ)
     t0 = time.time()
-    subprocess.run(
-        [sys.executable, "-m", "twopaco_tpu.cli.twopaco",
-         "-k", str(cfg["k"]), "-f", str(cfg["f"]),
-         "-r", str(cfg["rounds"]), "-o", out, fa],
-        check=True, cwd=REPO, env=env,
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    )
+    with open(out + ".log", "ab") as logf:
+        subprocess.run(
+            [sys.executable, "-m", "twopaco_tpu.cli.twopaco",
+             "-k", str(cfg["k"]), "-f", str(cfg["f"]),
+             "-r", str(cfg["rounds"]), "-o", out, fa],
+            check=True, cwd=REPO, env=env,
+            stdout=logf, stderr=subprocess.STDOUT,
+        )
     return time.time() - t0
 
 

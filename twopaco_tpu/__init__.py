@@ -45,8 +45,11 @@ def _retain_heap() -> None:
 
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
-        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
-        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+        # INT_MAX: even ~1-2 GB occurrence-stream temporaries (62-strain
+        # pangenomes hit 40%+ junction-occurrence density) must come
+        # from the retained heap, not fresh cold-faulted mmaps
+        libc.mallopt(M_MMAP_THRESHOLD, 0x7FFFFFFF)
+        libc.mallopt(M_TRIM_THRESHOLD, 0x7FFFFFFF)
     except Exception:
         pass  # non-glibc platforms: default allocator behavior
 

@@ -240,19 +240,19 @@ def build_and_partition(codes, valid, base, highs, *, cfg, n_parts, part_cap):
 
 @partial(jax.jit, static_argnames=("buf_slots",))
 def assemble_round(r, parts_w, parts_pay, parts_pos, *, buf_slots):
-    """Concatenate round r's fixed-cap part blocks from every batch into
-    one sentinel-padded sort buffer (a single program for all rounds)."""
-    take = lambda parts: [
-        jax.lax.dynamic_index_in_dim(p, r, axis=0, keepdims=False)
-        for p in parts
-    ]
-    ws = jnp.concatenate(take(parts_w))
-    pays = jnp.concatenate(take(parts_pay))
-    # parts_pos: per-batch tuples of 1-2 position columns
-    n_comp = len(parts_pos[0])
+    """Slice round r's fixed-cap part blocks (stacked (nb, n_parts,
+    cap, ...) from _partition_scan) into one sentinel-padded sort
+    buffer (a single program for all rounds)."""
+    ws = jax.lax.dynamic_index_in_dim(
+        parts_w, r, axis=1, keepdims=False
+    ).reshape(-1, parts_w.shape[-1])
+    pays = jax.lax.dynamic_index_in_dim(
+        parts_pay, r, axis=1, keepdims=False
+    ).reshape(-1)
     poss = tuple(
-        jnp.concatenate(take([pp[c] for pp in parts_pos]))
-        for c in range(n_comp)
+        jax.lax.dynamic_index_in_dim(p, r, axis=1, keepdims=False)
+        .reshape(-1)
+        for p in parts_pos
     )
     pad = buf_slots - ws.shape[0]
     if pad:
@@ -264,6 +264,41 @@ def assemble_round(r, parts_w, parts_pay, parts_pos, *, buf_slots):
             jnp.concatenate([p, jnp.zeros(pad, U32)]) for p in poss
         )
     return ws, pays, poss
+
+
+@partial(jax.jit, static_argnames=("cfg", "bin_pow"))
+def _histogram_scan(codes_st, valid_st, *, cfg, bin_pow: int = 16):
+    """Vertex-hash histogram over ALL stacked batches in one program
+    (the per-batch dispatch chain measured 160s of a 513s 285-Mbase
+    run — pure dispatch+serialization overhead)."""
+
+    def step(acc, xs):
+        codes, valid = xs
+        h = kernels.histogram_vertex_hashes(
+            codes, valid, cfg=cfg, bin_pow=bin_pow
+        )
+        return acc + h, None
+
+    init = jnp.zeros(1 << bin_pow, jnp.int32)
+    acc, _ = jax.lax.scan(step, init, (codes_st, valid_st))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_parts", "part_cap"))
+def _partition_scan(codes_st, valid_st, base_st, highs, *, cfg, n_parts, part_cap):
+    """build_and_partition over all stacked batches in one program.
+    Returns stacked (nb, n_parts, part_cap, w) words, (nb, n_parts,
+    part_cap) payload, tuple of position columns, (nb, n_parts) counts."""
+
+    def step(_, xs):
+        codes, valid, base = xs
+        return None, build_and_partition(
+            codes, valid, base, highs,
+            cfg=cfg, n_parts=n_parts, part_cap=part_cap,
+        )
+
+    _, ys = jax.lax.scan(step, None, (codes_st, valid_st, base_st))
+    return ys
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -980,15 +1015,13 @@ def build_junctions_sorted(
         <= _RESIDENT_BYTES
         and os.environ.get("TWOPACO_RESIDENT", "1") != "0"
     )
+    stacked = None  # stacked batches for the scanned passes
     if n_rounds > 1:
         t0 = time.time()
-        hist_d = None
-        for codes_d, valid_d, _r0 in dev_batches:
-            h = kernels.histogram_vertex_hashes(
-                codes_d, valid_d, cfg=cfg, bin_pow=bin_pow
-            )
-            hist_d = h if hist_d is None else hist_d + h
-        hist = np.asarray(hist_d)
+        stacked = _stack_batches(dev_batches, cfg.P, wide)
+        hist = np.asarray(
+            _histogram_scan(stacked[0], stacked[1], cfg=cfg, bin_pow=bin_pow)
+        )
         stats.timings["hist"] = time.time() - t0
 
     parts_w = parts_pay = parts_pos = None
@@ -1009,20 +1042,16 @@ def build_junctions_sorted(
             highs = np.asarray([h for _l, h in intervals], np.uint32)
             assert (np.diff(highs.astype(np.int64)) > 0).all()
             highs_d = jnp.asarray(highs)
-            pend = [
-                build_and_partition(
-                    codes_d, valid_d, _pos_base(row0, cfg.P, wide),
-                    highs_d,
-                    cfg=cfg, n_parts=len(intervals), part_cap=part_cap,
-                )
-                for codes_d, valid_d, row0 in dev_batches
-            ]
-            counts = np.asarray(jnp.stack([c for *_x, c in pend]))
+            parts_w, parts_pay, parts_pos, counts_d = _partition_scan(
+                *stacked, highs_d,
+                cfg=cfg, n_parts=len(intervals), part_cap=part_cap,
+            )
+            counts = np.asarray(counts_d)
             if (counts <= part_cap).all():
                 break
             # a batch's round block overflowed its fixed cap (local
             # k-mer-hash skew): split finer and re-partition
-            del pend
+            del parts_w, parts_pay, parts_pos
             n_rounds = -(-n_rounds * 3) // 2
             log(
                 f"Round block overflow (max {int(counts.max())} > "
@@ -1033,10 +1062,8 @@ def build_junctions_sorted(
                 "round block overflow persists after re-splitting — "
                 "raise PipelineConfig.round_slack"
             )
-        parts_w = tuple(pw for pw, _p, _q, _c in pend)
-        parts_pay = tuple(pp for _w, pp, _q, _c in pend)
-        parts_pos = tuple(pq for _w, _p, pq, _c in pend)
-        del pend, dev_batches  # codes no longer needed on device
+        del dev_batches, stacked  # codes no longer needed on device
+        stacked = None
         buf_slots = n_batches * part_cap
         if buf_slots > JUDGE_CHUNK:
             buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
@@ -1070,7 +1097,8 @@ def build_junctions_sorted(
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
     judge_chunk = min(JUDGE_CHUNK, buf_slots)
-    stacked = None  # lazily stacked batches for the scan-stream path
+    if stacked is not None:
+        dev_batches = None  # scan-stream rounds use the stacked form
 
     for r, (low, high) in enumerate(intervals):
         restored = ckpt.load_round(r)
@@ -1093,9 +1121,6 @@ def build_junctions_sorted(
                 dev_batches, buf_slots, cfg, wide=wide,
             )
         else:
-            if stacked is None:
-                stacked = _stack_batches(dev_batches, cfg.P, wide)
-                dev_batches = None  # free the per-batch device copies
             buf_w, buf_pay, buf_pos, over = _stream_round_scan(
                 *stacked, jnp.uint32(low), jnp.uint32(high),
                 cfg=cfg, buf_slots=buf_slots,
@@ -1185,15 +1210,27 @@ def merge_rounds_and_emit(
     happens here."""
     # ---- merge rounds: global dictionary + id remap --------------------
     t0 = time.time()
+
+    def merge_keys(cat):
+        # u64 integer keys when they fit (k <= 32): same lexicographic
+        # word order, ~10x faster argsort/searchsorted than S8 strings
+        if cfg.w == 1:
+            return cat[:, 0].astype(np.uint64)
+        if cfg.w == 2:
+            return (cat[:, 0].astype(np.uint64) << 32) | cat[:, 1].astype(
+                np.uint64
+            )
+        return dna.words_to_bytes_keys(cat)
+
     if sum(len(t) for t in round_tables):
         cat = np.concatenate([t for t in round_tables if len(t)])
-        keys = dna.words_to_bytes_keys(cat)
+        keys = merge_keys(cat)
         order = np.argsort(keys, kind="stable")
         table = np.ascontiguousarray(cat[order])
         global_keys = keys[order]
     else:
         table = np.zeros((0, cfg.w), np.uint32)
-        global_keys = np.zeros(0, dtype=f"S{4*cfg.w}")
+        global_keys = merge_keys(table)
     stats.timings["dict_table"] = time.time() - t0
 
     all_pos: list[np.ndarray] = []
@@ -1202,7 +1239,7 @@ def merge_rounds_and_emit(
         if len(op) == 0:
             continue
         if len(rtab):
-            rk = dna.words_to_bytes_keys(rtab)
+            rk = merge_keys(rtab)
             remap = np.searchsorted(global_keys, rk).astype(np.int64)
         else:
             remap = np.zeros(0, np.int64)
