@@ -17,10 +17,42 @@ import numpy as np
 from twopaco_tpu.io import junctions
 
 
+def _aligned(a, b):
+    """Sort both runs by (chr, pos); returns (|ids_a|, |ids_b|) aligned,
+    or None if the occurrence sets differ."""
+    ca, pa, ia = a
+    cb, pb, ib = b
+    if len(ia) != len(ib):
+        return None
+    oa = np.lexsort((pa, ca))
+    ob = np.lexsort((pb, cb))
+    if not (
+        np.array_equal(ca[oa], cb[ob]) and np.array_equal(pa[oa], pb[ob])
+    ):
+        return None
+    return np.abs(ia[oa]), np.abs(ib[ob])
+
+
+def partitions_equal(a, b) -> bool:
+    """Same partition into junction classes, fully vectorized: the
+    (|id_a|, |id_b|) pairing over aligned occurrences must be a
+    bijection — #distinct pairs == #distinct ids on each side.
+    (Signs fold: +x and -x are one junction, strand is id-internal.)"""
+    al = _aligned(a, b)
+    if al is None:
+        return False
+    ia, ib = al
+    pairs = (ia.astype(np.uint64) << np.uint64(32)) | ib.astype(np.uint64)
+    return (
+        len(np.unique(pairs))
+        == len(np.unique(ia))
+        == len(np.unique(ib))
+    )
+
+
 def partition_signature(c, pos, ids):
-    """Canonical form of the occurrence partition: for each junction
-    class (same |id|), the sorted tuple of (chr, pos); classes sorted.
-    Signs fold together: +x and -x are the same junction."""
+    """Canonical form of the occurrence partition (small inputs /
+    debugging; O(classes) Python — use partitions_equal at scale)."""
     order = np.lexsort((pos, c, np.abs(ids)))
     c, pos, ids = c[order], pos[order], np.abs(ids[order])
     sig = []
@@ -37,26 +69,20 @@ def main():
     a_path, b_path = sys.argv[1], sys.argv[2]
     a = junctions.read_junctions(a_path)
     b = junctions.read_junctions(b_path)
-    occ_a = set(zip(a[0].tolist(), a[1].tolist()))
-    occ_b = set(zip(b[0].tolist(), b[1].tolist()))
-    if occ_a != occ_b:
-        only_a = list(occ_a - occ_b)[:5]
-        only_b = list(occ_b - occ_a)[:5]
-        print(f"POSITION MISMATCH: only_in_{a_path}={only_a} "
-              f"only_in_{b_path}={only_b} "
-              f"(|a|={len(occ_a)} |b|={len(occ_b)})")
+    al = _aligned(a, b)
+    if al is None:
+        print(
+            f"POSITION MISMATCH (|a|={len(a[2])} |b|={len(b[2])})"
+        )
         return 1
-    print(f"positions: {len(occ_a)} occurrences identical")
-    sa = partition_signature(*a)
-    sb = partition_signature(*b)
-    if sa != sb:
-        print(f"PARTITION MISMATCH: {len(sa)} vs {len(sb)} classes")
-        for i, (x, y) in enumerate(zip(sa, sb)):
-            if x != y:
-                print(f" first diff at class {i}: {x[:3]} vs {y[:3]}")
-                break
+    print(f"positions: {len(a[2])} occurrences identical")
+    if not partitions_equal(a, b):
+        print("PARTITION MISMATCH")
         return 1
-    print(f"partition: {len(sa)} junction classes identical")
+    print(
+        f"partition: {len(np.unique(np.abs(a[2])))} junction classes "
+        "identical"
+    )
     print("PARITY OK")
     return 0
 

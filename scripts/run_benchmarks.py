@@ -89,13 +89,9 @@ def check_parity(ours, theirs) -> bool:
     import check_parity as cp
     from twopaco_tpu.io import junctions
 
-    a = junctions.read_junctions(ours)
-    b = junctions.read_junctions(theirs)
-    occ_a = set(zip(a[0].tolist(), a[1].tolist()))
-    occ_b = set(zip(b[0].tolist(), b[1].tolist()))
-    if occ_a != occ_b:
-        return False
-    return cp.partition_signature(*a) == cp.partition_signature(*b)
+    return cp.partitions_equal(
+        junctions.read_junctions(ours), junctions.read_junctions(theirs)
+    )
 
 
 def main():
