@@ -105,3 +105,30 @@ def test_window_batcher_coverage():
         b.codes[2], dna.encode("NACGTNACN") .tolist() + [4] * 5
     )
     assert windows.count_rows([20, 2, 7], cfg) == 3
+
+
+def test_chunk_writer_matches_batch_writer(tmp_path):
+    """ChunkWriter across arbitrary chunk boundaries must be
+    byte-identical to write_records_with_separators on the whole
+    stream, including skipped chromosomes and chunk-straddling
+    transitions."""
+    import numpy as np
+    from twopaco_tpu.io import junctions as jio
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    chrs = np.sort(rng.choice([0, 1, 2, 5, 6, 9], size=n)).astype(np.int64)
+    pos = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    ids = rng.integers(-(1 << 40), 1 << 40, n).astype(np.int64)
+
+    a = str(tmp_path / "a.bin")
+    jio.write_records_with_separators(a, chrs, pos, ids)
+
+    b = str(tmp_path / "b.bin")
+    with jio.ChunkWriter(b) as w:
+        off = 0
+        for sz in (1, 7, 0, 613, 1, 2000, n):  # ragged chunks
+            end = min(off + sz, n)
+            w.write(chrs[off:end], pos[off:end], ids[off:end])
+            off = end
+    assert open(a, "rb").read() == open(b, "rb").read()
