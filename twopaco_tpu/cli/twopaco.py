@@ -141,6 +141,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
     print(f"Distinct junctions = {enum.vertices_count}")
+    # phase wall-clock table (the reference prints coarse per-pass
+    # times, constructor.cpp: "Filling up the filter"/... — ours is the
+    # host-truth breakdown; rounds' dispatch walls are summed)
+    st = getattr(enum, "stats", None)
+    if st is not None and st.timings:
+        rsum: dict[str, float] = {}
+        for r in st.rounds or ():
+            for key in ("t_build", "t_sort", "t_finish"):
+                if key in r:
+                    rsum[key] = rsum.get(key, 0.0) + r[key]
+        for name, val in {**st.timings, **rsum}.items():
+            print(f"time\t{name}\t{val:.2f}")
     print()
     return 0
 

@@ -442,10 +442,14 @@ def pass4_lookup(codes, packed_mask, valid, table, *, cfg: PassConfig, cap: int)
     return out_pos, out_ids, count
 
 
-@partial(jax.jit, static_argnames=("cfg", "bin_pow"))
-def histogram_vertex_hashes(codes, valid, *, cfg: PassConfig, bin_pow: int = 16):
+@partial(jax.jit, static_argnames=("cfg", "bin_pow", "stride"))
+def histogram_vertex_hashes(
+    codes, valid, *, cfg: PassConfig, bin_pow: int = 16, stride: int = 1
+):
     """Per-bin counts of canonical vertex hashes (multi-round splitting;
-    reference InitialFilterFillerWorker, vertexenumerator.h:503-583)."""
+    reference InitialFilterFillerWorker, vertexenumerator.h:503-583).
+    stride > 1 counts every stride-th position only (unbiased sample of
+    the pseudorandom hash stream; counts scale by ~1/stride)."""
     P = cfg.P
     codes = pack.as_codes(codes, P + cfg.k + 1)
     hf, hr = bz.window_hashes(
@@ -454,7 +458,8 @@ def histogram_vertex_hashes(codes, valid, *, cfg: PassConfig, bin_pow: int = 16)
     hv = hf[:, 1 : P + 1] + hr[:, 1 : P + 1]
     defV = pack.window_all_definite(codes, cfg.k, P + 1)[:, 1 : P + 1]
     ok = _pos_ok(valid, P) & defV
-    bins = (hv >> (32 - bin_pow)).astype(jnp.int32).reshape(-1)
+    bins = (hv >> (32 - bin_pow)).astype(jnp.int32).reshape(-1)[::stride]
     return jnp.zeros(1 << bin_pow, jnp.int32).at[bins].add(
-        ok.reshape(-1).astype(jnp.int32), mode="promise_in_bounds"
+        ok.reshape(-1)[::stride].astype(jnp.int32),
+        mode="promise_in_bounds",
     )

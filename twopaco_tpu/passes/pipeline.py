@@ -369,6 +369,106 @@ def emit_junctions(
     return len(occ_pos) + len(stub_flat), len(stub_flat)
 
 
+_ID_BIAS = np.int64(1) << 31
+
+
+def emit_junctions_packed(
+    out_path: str,
+    batches,
+    keys: np.ndarray,
+    table_len: int,
+    P: int,
+    timings: dict | None = None,
+) -> tuple[int, int]:
+    """emit_junctions over a PACKED occurrence stream: keys (sorted
+    u64) = flat_pos << 32 | (signed id + 2^31). One array instead of
+    two int64 ones — junction-dense pangenome runs (e.g. 62-strain
+    E. coli, 126M occurrences) spent minutes faulting/concatenating
+    the unpacked form. Requires flat positions < 2^32 and
+    |id| < 2^31 (the caller falls back to emit_junctions otherwise)."""
+    t0 = time.time()
+    seq_id = np.concatenate([b.seq_id for b in batches]).astype(np.int64)
+    pos0 = np.concatenate([b.pos0 for b in batches])
+    valid = np.concatenate([b.valid for b in batches]).astype(np.int64)
+    n_pos = np.concatenate([b.n_pos for b in batches])
+    n_rows = len(seq_id)
+    rows = np.arange(n_rows, dtype=np.int64)
+    live = seq_id >= 0
+
+    def present(flats):
+        # an occurrence at flat position f has key in [f<<32, (f+1)<<32)
+        if len(keys) == 0:
+            return np.zeros(len(flats), bool)
+        idx = np.minimum(
+            np.searchsorted(keys, flats.astype(np.uint64) << np.uint64(32)),
+            len(keys) - 1,
+        )
+        return (keys[idx] >> np.uint64(32)).astype(np.int64) == flats
+
+    first_flat = rows * P
+    pre = live & (pos0 == 1) & ~present(first_flat)
+    j_last = n_pos - pos0
+    is_last_row = live & (j_last >= 0) & (j_last < valid)
+    last_flat = rows * P + np.where(is_last_row, j_last, 0)
+    post = (
+        is_last_row
+        & ~present(last_flat)
+        & ~(pre & (j_last == 0))
+    )
+    stub_flat = np.sort(np.concatenate([first_flat[pre], last_flat[post]]))
+    stub_ids = (
+        np.arange(len(stub_flat), dtype=np.int64)
+        + table_len
+        + STUB_ID_OFFSET
+    )
+    ins = np.searchsorted(
+        keys, stub_flat.astype(np.uint64) << np.uint64(32), side="left"
+    )
+    if timings is not None:
+        timings["emit_stub"] = time.time() - t0
+    t0 = time.time()
+
+    CH = 1 << 24
+    t_map = 0.0
+
+    def map_keys(kv):
+        nonlocal t_map
+        tm = time.time()
+        fv = (kv >> np.uint64(32)).astype(np.int64)
+        iv = (kv & np.uint64(0xFFFFFFFF)).astype(np.int64) - _ID_BIAS
+        row_of = fv // P
+        out_chr = seq_id[row_of]
+        out_pos = (pos0[row_of] - 1 + (fv - row_of * P)).astype(np.uint32)
+        t_map += time.time() - tm
+        return out_chr, out_pos, iv
+
+    def map_flat(fv, iv):
+        row_of = fv // P
+        return (
+            seq_id[row_of],
+            (pos0[row_of] - 1 + (fv - row_of * P)).astype(np.uint32),
+            iv,
+        )
+
+    with junction_io.ChunkWriter(out_path) as w:
+        seg_start = np.concatenate([[0], ins])
+        seg_end = np.concatenate([ins, [len(keys)]])
+        for si in range(len(seg_start)):
+            for a in range(seg_start[si], seg_end[si], CH):
+                b = min(a + CH, seg_end[si])
+                w.write(*map_keys(keys[a:b]))
+            if si < len(stub_flat):
+                w.write(
+                    *map_flat(
+                        stub_flat[si : si + 1], stub_ids[si : si + 1]
+                    )
+                )
+    if timings is not None:
+        timings["emit_map"] = t_map
+        timings["emit_write"] = time.time() - t0 - t_map
+    return len(keys) + len(stub_flat), len(stub_flat)
+
+
 def build_junctions(
     input_paths: Sequence[str] | None,
     config: PipelineConfig,

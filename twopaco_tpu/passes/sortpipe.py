@@ -57,6 +57,7 @@ from twopaco_tpu.passes.pipeline import (
     _input_fingerprint,
     _split_rounds,
     emit_junctions,
+    emit_junctions_packed,
 )
 
 U32 = jnp.uint32
@@ -266,16 +267,23 @@ def assemble_round(r, parts_w, parts_pay, parts_pos, *, buf_slots):
     return ws, pays, poss
 
 
-@partial(jax.jit, static_argnames=("cfg", "bin_pow"))
-def _histogram_scan(codes_st, valid_st, *, cfg, bin_pow: int = 16):
+@partial(jax.jit, static_argnames=("cfg", "bin_pow", "stride"))
+def _histogram_scan(codes_st, valid_st, *, cfg, bin_pow: int = 16, stride: int = 1):
     """Vertex-hash histogram over ALL stacked batches in one program
     (the per-batch dispatch chain measured 160s of a 513s 285-Mbase
-    run — pure dispatch+serialization overhead)."""
+    run — pure dispatch+serialization overhead).
+
+    stride > 1 subsamples positions (hash values are pseudorandom, so
+    a strided sample is unbiased): the scatter-add is ~175ns/element
+    SERIAL on TPU — exact counting cost 50s of the same 285-Mbase run.
+    The split only needs per-interval mass to ~1%, and both consumers
+    re-check real counts (resident partition re-splits on overflow;
+    the stream path raises)."""
 
     def step(acc, xs):
         codes, valid = xs
         h = kernels.histogram_vertex_hashes(
-            codes, valid, cfg=cfg, bin_pow=bin_pow
+            codes, valid, cfg=cfg, bin_pow=bin_pow, stride=stride
         )
         return acc + h, None
 
@@ -867,9 +875,9 @@ def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
     )
     n_groups, n_junc, n_occ = int(n_groups), int(n_junc), int(n_occ)
     m = op_buf[0].shape[0]
-    # fetch pow2-bucketed slices, not whole buffers (tunnel ~40-64 MB/s)
-    cap_t = _bucket_cap(max(n_junc, 1), m)
-    cap_o = _bucket_cap(max(n_occ, 1), m)
+    # fetch tightly-bucketed slices, not whole buffers (D2H ~8-15 MB/s)
+    cap_t = _fetch_cap(n_junc, m)
+    cap_o = _fetch_cap(n_occ, m)
     return (
         tab_buf[:cap_t],
         tuple(b[:cap_o] for b in op_buf),
@@ -887,6 +895,29 @@ def _round_to_host(table_dev, op_dev, oi_dev, n_junc, n_occ):
     op = _host_pos(op_dev)[:n_occ]
     oi = np.asarray(oi_dev)[:n_occ]
     return table, op, oi
+
+
+def _fetch_round_exact(tab_d, op_d, oi_d, n_junc, n_occ):
+    """Fetch one round's bucketed device slices and trim to exact
+    sizes: (table (n_junc, w), pos component tuple, ids (n_occ,))."""
+    return (
+        np.asarray(tab_d)[:n_junc],
+        tuple(np.asarray(c)[:n_occ] for c in op_d),
+        np.asarray(oi_d)[:n_occ],
+    )
+
+
+def _fetch_cap(count: int, hard_max: int) -> int:
+    """Fetch-slice bucket: multiple of 2^(bits-4) >= count (<=6.25%
+    over). The D2H tunnel moves ~8-15 MB/s, so pow2 buckets (up to 2x
+    over) made result collection the longest phase on junction-dense
+    runs; finer buckets trade a few extra tiny slice programs (compiled
+    once, cached) for ~40% less transfer."""
+    count = max(count, 1)
+    if count >= hard_max:
+        return hard_max
+    g = 1 << max(count.bit_length() - 4, 0)
+    return min(-(-count // g) * g, hard_max)
 
 
 class _Checkpoint(RoundCheckpoint):
@@ -1019,8 +1050,13 @@ def build_junctions_sorted(
     if n_rounds > 1:
         t0 = time.time()
         stacked = _stack_batches(dev_batches, cfg.P, wide)
+        # sample ~2^23 positions: enough for ~1% interval-mass accuracy
+        hist_stride = max(1, 1 << max(0, n_slots.bit_length() - 24))
         hist = np.asarray(
-            _histogram_scan(stacked[0], stacked[1], cfg=cfg, bin_pow=bin_pow)
+            _histogram_scan(
+                stacked[0], stacked[1],
+                cfg=cfg, bin_pow=bin_pow, stride=hist_stride,
+            )
         )
         stats.timings["hist"] = time.time() - t0
 
@@ -1096,6 +1132,15 @@ def build_junctions_sorted(
 
     round_tables: list[np.ndarray] = []
     round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
+    fetcher = None
+    pending = []  # futures of _fetch_round_exact, in round order
+    if (
+        checkpoint_dir is None
+        and os.environ.get("TWOPACO_FETCH_THREAD", "1") != "0"
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        fetcher = ThreadPoolExecutor(max_workers=1)
     judge_chunk = min(JUDGE_CHUNK, buf_slots)
     if stacked is not None:
         dev_batches = None  # scan-stream rounds use the stacked form
@@ -1145,8 +1190,18 @@ def build_junctions_sorted(
             table, op, oi = _round_to_host(tab_d, op_d, oi_d, n_junc, n_occ)
             round_occ.append((op, oi))
             round_tables.append(table)
+        elif fetcher is not None:
+            # fast path: a background thread pulls the finished round's
+            # results over the tunnel WHILE the next rounds compute —
+            # D2H is the long pole (~8-15 MB/s) and the runtime has no
+            # usable async fetch (copy_to_host_async hangs)
+            pending.append(
+                fetcher.submit(
+                    _fetch_round_exact, tab_d, op_d, oi_d, n_junc, n_occ
+                )
+            )
         else:
-            # fast path: the async device->host copies overlap the next
+            # the async device->host copies overlap the next
             # round's compute; materialized after the loop
             round_occ.append((op_d, oi_d, n_occ))
             round_tables.append((tab_d, n_junc))
@@ -1182,18 +1237,114 @@ def build_junctions_sorted(
 
     parts_w = parts_pay = parts_pos = None  # release resident parts
     if checkpoint_dir is None:
-        # collect the overlapped copies (most finished rounds ago)
-        round_tables = [
-            np.asarray(t)[:nj] for t, nj in round_tables
-        ]
-        round_occ = [
-            (_host_pos(op)[:no], np.asarray(oi)[:no])
-            for op, oi, no in round_occ
-        ]
+        # collect the (thread-overlapped) copies
+        t0 = time.time()
+        if fetcher is not None:
+            fetched = [f.result() for f in pending]
+            fetcher.shutdown()
+        else:
+            fetched = [
+                (
+                    np.asarray(t)[:nj],
+                    tuple(np.asarray(c)[:no] for c in opc),
+                    np.asarray(oi)[:no],
+                )
+                for (t, nj), (opc, oi, no) in zip(round_tables, round_occ)
+            ]
+        stats.timings["collect"] = time.time() - t0
+        total_j = sum(len(t) for t, _, _ in fetched)
+        if not wide and total_j + 2 * len(sequences) + 64 < (1 << 31):
+            return merge_rounds_packed(
+                fetched, batches, cfg, config, out_path, stats, log,
+                t_start,
+            )
+        round_tables = [t for t, _, _ in fetched]
+        round_occ = [(_host_pos(opc), oi) for _, opc, oi in fetched]
     return merge_rounds_and_emit(
         round_tables, round_occ, batches, cfg, config, out_path, stats,
         log, t_start,
     )
+
+
+def _merge_keys(cat: np.ndarray, w: int) -> np.ndarray:
+    """Sort/search keys for (n, w) canonical k-mer word rows: u64
+    integer keys when they fit (k <= 32) — same lexicographic word
+    order, ~10x faster argsort/searchsorted than S8 strings."""
+    if w == 1:
+        return cat[:, 0].astype(np.uint64)
+    if w == 2:
+        return (cat[:, 0].astype(np.uint64) << 32) | cat[:, 1].astype(
+            np.uint64
+        )
+    return dna.words_to_bytes_keys(cat)
+
+
+def merge_rounds_packed(
+    fetched, batches, cfg, config, out_path, stats, log, t_start,
+):
+    """Fast merge for narrow runs (flat positions < 2^32, |global id|
+    < 2^31): per-round occurrences are packed straight into ONE
+    preallocated u64 key buffer (pos << 32 | biased id) and sorted in
+    place. The unpacked path (merge_rounds_and_emit) concatenates,
+    argsorts and re-gathers several int64 arrays — at pangenome
+    occurrence densities (126M occurrences for 62 E. coli strains)
+    that cost minutes of demand-faulted page churn; this path touches
+    one 8-byte-per-occurrence buffer once.
+
+    fetched[r] = (table (nj, w) u32, pos_comps 1-tuple of (no,) u32,
+    occ_ids (no,) int32 signed local ranks)."""
+    t0 = time.time()
+    tables = [t for t, _, _ in fetched]
+    if sum(len(t) for t in tables):
+        cat = np.concatenate([t for t in tables if len(t)])
+        keys = _merge_keys(cat, cfg.w)
+        order = np.argsort(keys, kind="stable")
+        table = np.ascontiguousarray(cat[order])
+        global_keys = keys[order]
+    else:
+        table = np.zeros((0, cfg.w), np.uint32)
+        global_keys = _merge_keys(table, cfg.w)
+    stats.timings["dict_table"] = time.time() - t0
+
+    total_o = sum(len(oi) for _, _, oi in fetched)
+    buf = np.empty(total_o, np.uint64)
+    ofs = 0
+    bias = np.int64(1) << 31
+    for rtab, opc, oi in fetched:
+        n = len(oi)
+        if n == 0:
+            continue
+        remap = np.searchsorted(
+            global_keys, _merge_keys(rtab, cfg.w)
+        ).astype(np.int64)
+        gid = remap[np.abs(oi).astype(np.int64) - 1] + 1
+        np.negative(gid, where=oi < 0, out=gid)
+        seg = buf[ofs : ofs + n]
+        seg[:] = opc[0].astype(np.uint64)
+        seg <<= np.uint64(32)
+        seg |= (gid + bias).astype(np.uint64)
+        ofs += n
+    stats.timings["dict_remap"] = time.time() - t0
+    buf.sort()
+    stats.timings["dict"] = time.time() - t0
+
+    stats.distinct_junctions = len(table)
+    enum = Enumerator(table, config.k, stats)
+    if out_path is not None:
+        t0 = time.time()
+        c0 = time.process_time()
+        occurrences, n_stubs = emit_junctions_packed(
+            out_path, batches, buf, len(table), cfg.P,
+            timings=stats.timings,
+        )
+        stats.occurrences = occurrences
+        stats.stub_ids = n_stubs
+        stats.timings["emit"] = time.time() - t0
+        stats.timings["emit_cpu"] = time.process_time() - c0
+        log(f"True marks count: {occurrences}")
+    stats.timings["total"] = time.time() - t_start
+    log(f"Distinct junctions = {enum.vertices_count}")
+    return enum
 
 
 def merge_rounds_and_emit(
@@ -1212,15 +1363,7 @@ def merge_rounds_and_emit(
     t0 = time.time()
 
     def merge_keys(cat):
-        # u64 integer keys when they fit (k <= 32): same lexicographic
-        # word order, ~10x faster argsort/searchsorted than S8 strings
-        if cfg.w == 1:
-            return cat[:, 0].astype(np.uint64)
-        if cfg.w == 2:
-            return (cat[:, 0].astype(np.uint64) << 32) | cat[:, 1].astype(
-                np.uint64
-            )
-        return dna.words_to_bytes_keys(cat)
+        return _merge_keys(cat, cfg.w)
 
     if sum(len(t) for t in round_tables):
         cat = np.concatenate([t for t in round_tables if len(t)])
