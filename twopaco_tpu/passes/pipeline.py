@@ -434,8 +434,11 @@ def emit_junctions_packed(
     def map_keys(kv):
         nonlocal t_map
         tm = time.time()
-        fv = (kv >> np.uint64(32)).astype(np.int64)
-        iv = (kv & np.uint64(0xFFFFFFFF)).astype(np.int64) - _ID_BIAS
+        # decode the u32 halves through a view (little-endian: [0]=id,
+        # [1]=pos) — u64 shift/mask ufuncs are ~20x slower
+        halves = kv.view(np.uint32).reshape(-1, 2)
+        fv = halves[:, 1].astype(np.int64)
+        iv = halves[:, 0].astype(np.int64) - _ID_BIAS
         row_of = fv // P
         out_chr = seq_id[row_of]
         out_pos = (pos0[row_of] - 1 + (fv - row_of * P)).astype(np.uint32)
