@@ -55,6 +55,7 @@ from twopaco_tpu.passes.pipeline import (
     STUB_ID_OFFSET,
     _bucket_cap,
     _input_fingerprint,
+    _next_pow2,
     _split_rounds,
     emit_junctions,
     emit_junctions_packed,
@@ -897,14 +898,108 @@ def _round_to_host(table_dev, op_dev, oi_dev, n_junc, n_occ):
     return table, op, oi
 
 
+# ---- 4-byte packed occurrence fetch ---------------------------------
+#
+# The D2H tunnel (~8-15 MB/s) makes occurrence collection the long pole
+# on junction-dense runs. Instead of fetching (pos u32, id i32) = 8
+# bytes per occurrence, the device sorts each round's occurrences by
+# position and emits one u32 per occurrence:
+#
+#   packed = delta << 18 | sign << 17 | local_rank      (delta < 2^14)
+#
+# plus a tiny exception table (index, full position) for deltas >= 2^14
+# — count(delta >= 2^14) <= max_pos / 2^14, so the exception buffer is
+# statically bounded by n_slots >> 14 (+1 for the first record) and can
+# NEVER overflow. Host reconstructs positions with one cumsum + a
+# per-exception segment rebase. Applies when positions are narrow, the
+# round's table fits 17 bits, and expected exceptions are negligible.
+
+_OCC_DELTA_BITS = 14
+_OCC_LID_BITS = 17
+
+
+@partial(jax.jit, static_argnames=("exc_cap",))
+def _pack_occ(pos, oi, n_occ, *, exc_cap: int):
+    """pos (cap,) u32, oi (cap,) i32 (signed 1-based round-local ranks,
+    first n_occ live) -> (packed (cap,) u32 pos-sorted, exc_idx
+    (exc_cap,) u32 [0xFFFFFFFF-terminated], exc_pos (exc_cap,) u32)."""
+    cap = pos.shape[0]
+    idx = jnp.arange(cap, dtype=U32)
+    live = idx < n_occ
+    key = jnp.where(live, pos, jnp.uint32(0xFFFFFFFF))
+    key, oi_s = jax.lax.sort((key, oi), num_keys=1)
+    prev = jnp.concatenate([jnp.zeros(1, U32), key[:-1]])
+    delta = key - prev
+    lid = jnp.abs(oi_s).astype(U32)
+    sign = (oi_s < 0).astype(U32)
+    exc = (delta >= U32(1 << _OCC_DELTA_BITS)) & live
+    packed = (
+        (jnp.where(exc, U32(0), delta) << U32(_OCC_LID_BITS + 1))
+        | (sign << U32(_OCC_LID_BITS))
+        | lid
+    )
+    exc_key = jnp.where(exc, idx, jnp.uint32(0xFFFFFFFF))
+    exc_idx, exc_pos = jax.lax.sort((exc_key, key), num_keys=1)
+    return packed, exc_idx[:exc_cap], exc_pos[:exc_cap]
+
+
+def _unpack_occ(packed, exc_idx, exc_pos):
+    """Host inverse of _pack_occ for one round: (pos u32, sign bool,
+    lid u32) with positions ascending."""
+    n = len(packed)
+    n_exc = int(np.searchsorted(exc_idx, np.uint32(0xFFFFFFFF)))
+    lid = packed & np.uint32((1 << _OCC_LID_BITS) - 1)
+    sign = (packed >> np.uint32(_OCC_LID_BITS)) & np.uint32(1)
+    pos = np.cumsum(
+        packed >> np.uint32(_OCC_LID_BITS + 1), dtype=np.uint32
+    )
+    # each exception opens a segment rebased to its true position
+    # (u32 wraparound arithmetic is exact here: true positions < 2^32)
+    bounds = np.append(exc_idx[:n_exc], n).astype(np.int64)
+    for j in range(n_exc):
+        a, b = bounds[j], bounds[j + 1]
+        pos[a:b] += exc_pos[j] - pos[a]
+    return pos, sign.astype(bool), lid
+
+
 def _fetch_round_exact(tab_d, op_d, oi_d, n_junc, n_occ):
     """Fetch one round's bucketed device slices and trim to exact
-    sizes: (table (n_junc, w), pos component tuple, ids (n_occ,))."""
+    sizes -> (table (n_junc, w), "raw", (pos component tuple, ids))."""
     return (
         np.asarray(tab_d)[:n_junc],
-        tuple(np.asarray(c)[:n_occ] for c in op_d),
-        np.asarray(oi_d)[:n_occ],
+        "raw",
+        (
+            tuple(np.asarray(c)[:n_occ] for c in op_d),
+            np.asarray(oi_d)[:n_occ],
+        ),
     )
+
+
+def _fetch_round_packed(tab_d, packed_d, exc_i_d, exc_p_d, n_junc, n_occ):
+    """Fetch one round in 4-byte packed form -> (table, "packed",
+    (packed u32 (n_occ,), exc_idx, exc_pos))."""
+    return (
+        np.asarray(tab_d)[:n_junc],
+        "packed",
+        (
+            np.asarray(packed_d)[:n_occ],
+            np.asarray(exc_i_d),
+            np.asarray(exc_p_d),
+        ),
+    )
+
+
+def _round_raw_occ(kind, payload):
+    """(kind, payload) -> (occ_pos int64, signed local ids int) for the
+    unpacked merge path."""
+    if kind == "raw":
+        opc, oi = payload
+        return _host_pos(opc), oi
+    packed, exc_i, exc_p = payload
+    pos, sign, lid = _unpack_occ(packed, exc_i, exc_p)
+    oi = lid.astype(np.int64)
+    np.negative(oi, where=sign, out=oi)
+    return pos.astype(np.int64), oi
 
 
 def _fetch_cap(count: int, hard_max: int) -> int:
@@ -1141,6 +1236,10 @@ def build_junctions_sorted(
         from concurrent.futures import ThreadPoolExecutor
 
         fetcher = ThreadPoolExecutor(max_workers=1)
+    # exception capacity for the 4-byte packed fetch: deltas sum to at
+    # most max_pos, so at most n_slots >> 14 of them reach 2^14 (+1 for
+    # the round's first record) — statically safe, never overflows
+    occ_exc_cap = _next_pow2(max((n_slots >> _OCC_DELTA_BITS) + 2, 16))
     judge_chunk = min(JUDGE_CHUNK, buf_slots)
     if stacked is not None:
         dev_batches = None  # scan-stream rounds use the stacked form
@@ -1195,11 +1294,29 @@ def build_junctions_sorted(
             # results over the tunnel WHILE the next rounds compute —
             # D2H is the long pole (~8-15 MB/s) and the runtime has no
             # usable async fetch (copy_to_host_async hangs)
-            pending.append(
-                fetcher.submit(
-                    _fetch_round_exact, tab_d, op_d, oi_d, n_junc, n_occ
+            if (
+                not wide
+                and n_junc < (1 << _OCC_LID_BITS)
+                and 0 < n_occ
+                and n_occ << _OCC_DELTA_BITS >= 8 * n_slots
+            ):
+                # dense rounds: 4 bytes/occurrence over the tunnel
+                packed, exc_i, exc_p = _pack_occ(
+                    op_d[0], oi_d, jnp.uint32(n_occ), exc_cap=occ_exc_cap
                 )
-            )
+                pending.append(
+                    fetcher.submit(
+                        _fetch_round_packed,
+                        tab_d, packed, exc_i, exc_p, n_junc, n_occ,
+                    )
+                )
+            else:
+                pending.append(
+                    fetcher.submit(
+                        _fetch_round_exact, tab_d, op_d, oi_d, n_junc,
+                        n_occ,
+                    )
+                )
         else:
             # the async device->host copies overlap the next
             # round's compute; materialized after the loop
@@ -1246,8 +1363,11 @@ def build_junctions_sorted(
             fetched = [
                 (
                     np.asarray(t)[:nj],
-                    tuple(np.asarray(c)[:no] for c in opc),
-                    np.asarray(oi)[:no],
+                    "raw",
+                    (
+                        tuple(np.asarray(c)[:no] for c in opc),
+                        np.asarray(oi)[:no],
+                    ),
                 )
                 for (t, nj), (opc, oi, no) in zip(round_tables, round_occ)
             ]
@@ -1259,7 +1379,7 @@ def build_junctions_sorted(
                 t_start,
             )
         round_tables = [t for t, _, _ in fetched]
-        round_occ = [(_host_pos(opc), oi) for _, opc, oi in fetched]
+        round_occ = [_round_raw_occ(k, p) for _, k, p in fetched]
     return merge_rounds_and_emit(
         round_tables, round_occ, batches, cfg, config, out_path, stats,
         log, t_start,
@@ -1291,8 +1411,8 @@ def merge_rounds_packed(
     that cost minutes of demand-faulted page churn; this path touches
     one 8-byte-per-occurrence buffer once.
 
-    fetched[r] = (table (nj, w) u32, pos_comps 1-tuple of (no,) u32,
-    occ_ids (no,) int32 signed local ranks)."""
+    fetched[r] = (table (nj, w) u32, kind, payload) where kind/payload
+    is "raw"/((pos_comps,), ids) or "packed" (see _pack_occ)."""
     t0 = time.time()
     tables = [t for t, _, _ in fetched]
     if sum(len(t) for t in tables):
@@ -1306,24 +1426,34 @@ def merge_rounds_packed(
         global_keys = _merge_keys(table, cfg.w)
     stats.timings["dict_table"] = time.time() - t0
 
-    total_o = sum(len(oi) for _, _, oi in fetched)
+    def occ_len(kind, payload):
+        return len(payload[1] if kind == "raw" else payload[0])
+
+    total_o = sum(occ_len(k, p) for _, k, p in fetched)
     buf = np.empty(total_o, np.uint64)
     ofs = 0
     bias = np.int64(1) << 31
-    for rtab, opc, oi in fetched:
-        n = len(oi)
+    for rtab, kind, payload in fetched:
+        n = occ_len(kind, payload)
         if n == 0:
             continue
         remap = np.searchsorted(
             global_keys, _merge_keys(rtab, cfg.w)
         ).astype(np.int64)
-        gid = remap[np.abs(oi).astype(np.int64) - 1] + 1
-        np.negative(gid, where=oi < 0, out=gid)
+        if kind == "raw":
+            opc, oi = payload
+            pos32 = opc[0]
+            gid = remap[np.abs(oi).astype(np.int64) - 1] + 1
+            np.negative(gid, where=oi < 0, out=gid)
+        else:
+            pos32, sign, lid = _unpack_occ(*payload)
+            gid = remap[lid.astype(np.int64) - 1] + 1
+            np.negative(gid, where=sign, out=gid)
         # write the two u32 halves through a view: numpy's u64
         # shift/or ufuncs are ~20x slower than u32 stores (measured
         # 0.52s vs 0.01s per 2.2M-row round)
         seg = buf[ofs : ofs + n].view(np.uint32).reshape(-1, 2)
-        seg[:, 1] = opc[0]
+        seg[:, 1] = pos32
         seg[:, 0] = (gid + bias).astype(np.uint32)
         ofs += n
     stats.timings["dict_remap"] = time.time() - t0
