@@ -230,6 +230,11 @@ class RoundCheckpoint:
 
         return os.path.join(self.dir, f"round_{r}.npz")
 
+    def has_round(self, r: int) -> bool:
+        import os
+
+        return self.dir is not None and os.path.exists(self._path(r))
+
     def load_round(self, r: int):
         """-> (arrays dict, rstats dict) or None if not checkpointed."""
         if self.dir is None:

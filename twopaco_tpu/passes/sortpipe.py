@@ -163,7 +163,9 @@ def build_sort_records(codes, valid, base, low, high_incl, *, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_parts", "part_cap"))
-def build_and_partition(codes, valid, base, highs, *, cfg, n_parts, part_cap):
+def build_and_partition(
+    codes, valid, base, highs, low, high_incl, *, cfg, n_parts, part_cap
+):
     """Build one batch's records and split them by round in ONE fused
     program: the resident-parts engine builds records once per run
     instead of once per round (the stream engine's re-build is the
@@ -171,16 +173,20 @@ def build_and_partition(codes, valid, base, highs, *, cfg, n_parts, part_cap):
     vertexenumerator.h:228-392 — here the partition replaces it).
 
     Round of a record = interval index of its symmetric vertex hash
-    (highs = ascending inclusive interval upper bounds). Returns fixed
-    shapes regardless of data: (words (n_parts, part_cap, w), payload
-    (n_parts, part_cap), pos (n_parts, part_cap), counts (n_parts,)).
-    counts[r] > part_cap means the fixed cap overflowed (records beyond
-    it were dropped) — the caller MUST check and re-partition.
+    (highs = non-decreasing inclusive interval upper bounds; records
+    outside [low, high_incl] are dropped — the full hash range for the
+    resident engine, one group's range for the grouped engine). Returns
+    fixed shapes regardless of data: (words (n_parts, part_cap, w),
+    payload (n_parts, part_cap), pos (n_parts, part_cap), counts
+    (n_parts,)). counts[r] > part_cap means the fixed cap overflowed
+    (records beyond it were dropped) — the caller MUST check and
+    re-partition.
     """
     codes = pack.as_codes(codes, cfg.P + cfg.k + 1)
     B, P, w = codes.shape[0], cfg.P, cfg.w
     m = B * P
     canonV, payload, hv, ok, flat = _batch_records(codes, valid, base, cfg)
+    ok = ok & kernels._within(hv, low, high_incl)
     okf = ok.reshape(-1)
     part = jnp.searchsorted(highs, hv.reshape(-1), side="left").astype(U32)
     part = jnp.where(okf, part, U32(n_parts))  # invalid -> own tail part
@@ -294,7 +300,10 @@ def _histogram_scan(codes_st, valid_st, *, cfg, bin_pow: int = 16, stride: int =
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_parts", "part_cap"))
-def _partition_scan(codes_st, valid_st, base_st, highs, *, cfg, n_parts, part_cap):
+def _partition_scan(
+    codes_st, valid_st, base_st, highs, low, high_incl, *,
+    cfg, n_parts, part_cap,
+):
     """build_and_partition over all stacked batches in one program.
     Returns stacked (nb, n_parts, part_cap, w) words, (nb, n_parts,
     part_cap) payload, tuple of position columns, (nb, n_parts) counts."""
@@ -302,7 +311,7 @@ def _partition_scan(codes_st, valid_st, base_st, highs, *, cfg, n_parts, part_ca
     def step(_, xs):
         codes, valid, base = xs
         return None, build_and_partition(
-            codes, valid, base, highs,
+            codes, valid, base, highs, low, high_incl,
             cfg=cfg, n_parts=n_parts, part_cap=part_cap,
         )
 
@@ -1156,6 +1165,8 @@ def build_junctions_sorted(
         stats.timings["hist"] = time.time() - t0
 
     parts_w = parts_pay = parts_pos = None
+    groups = None  # grouped-resident plan (records exceed HBM budget)
+    n_inner = 0
     t0 = time.time()
     if resident:
         # R from the buffer's full capacity (no append headroom needed)
@@ -1174,7 +1185,7 @@ def build_junctions_sorted(
             assert (np.diff(highs.astype(np.int64)) > 0).all()
             highs_d = jnp.asarray(highs)
             parts_w, parts_pay, parts_pos, counts_d = _partition_scan(
-                *stacked, highs_d,
+                *stacked, highs_d, jnp.uint32(0), jnp.uint32(0xFFFFFFFF),
                 cfg=cfg, n_parts=len(intervals), part_cap=part_cap,
             )
             counts = np.asarray(counts_d)
@@ -1202,6 +1213,29 @@ def build_junctions_sorted(
         log(
             f"Splitting the input kmers set ({len(intervals)} rounds, "
             f"resident parts, block cap {part_cap})"
+        )
+    elif n_rounds > 1 and os.environ.get("TWOPACO_GROUPED", "1") != "0":
+        # grouped resident: records exceed the HBM budget, so process
+        # the hash space in groups — ONE full-input partition scan per
+        # group (not per round), each group's records resident while
+        # its inner rounds run. The per-round stream engine re-scanned
+        # the whole input every round (reference-style,
+        # vertexenumerator.h:228-392): at 5 Gbases that is ~150 scans;
+        # grouping cuts it to ceil(record_bytes / budget) ~ 20.
+        total_bytes = int(n_slots * config.round_slack * rec_bytes)
+        n_groups = min(max(2, -(-total_bytes // _RESIDENT_BYTES)), n_rounds)
+        n_inner = -(-n_rounds // n_groups)
+        groups, intervals = _plan_groups(hist, n_groups, n_inner, bin_pow)
+        part_cap = -(-int(config.round_slack * bp) // (
+            len(groups) * n_inner
+        ))
+        buf_slots = n_batches * part_cap
+        if buf_slots > JUDGE_CHUNK:
+            buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
+        stats.timings["partition_plan"] = time.time() - t0
+        log(
+            f"Splitting the input kmers set ({len(intervals)} rounds in "
+            f"{len(groups)} resident groups, block cap {part_cap})"
         )
     elif n_rounds > 1:
         intervals = _split_rounds(hist, n_rounds, bin_pow)
@@ -1244,7 +1278,46 @@ def build_junctions_sorted(
     if stacked is not None:
         dev_batches = None  # scan-stream rounds use the stacked form
 
+    # grouped-resident bookkeeping: round -> part index within its
+    # group, and the rounds at which a new group's partition scan runs
+    part_of_round: list[int] = []
+    group_at: dict[int, tuple] = {}
+    if groups is not None:
+        for glow, ghigh, g_rounds in groups:
+            group_at[len(part_of_round)] = (
+                glow, ghigh, [hi for _l, hi, _p in g_rounds],
+                len(g_rounds),
+            )
+            part_of_round.extend(p for _l, _h, p in g_rounds)
+
     for r, (low, high) in enumerate(intervals):
+        if r in group_at:
+            glow, ghigh, g_highs, n_real = group_at[r]
+            if not all(ckpt.has_round(r + j) for j in range(n_real)):
+                # ONE full-input scan partitions this group's records
+                # into resident per-round blocks (frees the previous
+                # group's blocks first — two sets would not fit HBM)
+                parts_w = parts_pay = parts_pos = None
+                tp = time.time()
+                highs_pad = np.asarray(
+                    g_highs + [ghigh] * (n_inner - n_real), np.uint32
+                )
+                parts_w, parts_pay, parts_pos, counts_d = _partition_scan(
+                    *stacked, jnp.asarray(highs_pad),
+                    jnp.uint32(glow), jnp.uint32(ghigh),
+                    cfg=cfg, n_parts=n_inner, part_cap=part_cap,
+                )
+                counts = np.asarray(counts_d)
+                if (counts[:, :n_real] > part_cap).any():
+                    raise RuntimeError(
+                        "grouped round block overflow (max "
+                        f"{int(counts.max())} > {part_cap}) — raise "
+                        "PipelineConfig.round_slack"
+                    )
+                stats.timings["partition"] = (
+                    stats.timings.get("partition", 0.0)
+                    + time.time() - tp
+                )
         restored = ckpt.load_round(r)
         if restored is not None:
             table, op, oi, rstats = restored
@@ -1255,9 +1328,10 @@ def build_junctions_sorted(
             continue
         log(f"Round {r}, {low}:{high}")
         t0 = time.time()
-        if resident:
+        if resident or groups is not None:
+            pidx = r if resident else part_of_round[r]
             buf_w, buf_pay, buf_pos = assemble_round(
-                jnp.int32(r), parts_w, parts_pay, parts_pos,
+                jnp.int32(pidx), parts_w, parts_pay, parts_pos,
                 buf_slots=buf_slots,
             )
         elif len(intervals) == 1:
@@ -1384,6 +1458,37 @@ def build_junctions_sorted(
         round_tables, round_occ, batches, cfg, config, out_path, stats,
         log, t_start,
     )
+
+
+def _plan_groups(hist, n_groups: int, n_inner: int, bin_pow: int):
+    """Two-level greedy split of the hash space for the grouped
+    resident engine: n_groups outer intervals (each sized so one
+    group's records fit the resident HBM budget), each sub-split into
+    up to n_inner inner rounds.
+
+    Returns (groups, flat_intervals): groups[g] = (glow, ghigh,
+    [(low, high, part_idx), ...]); flat_intervals lists every round's
+    (low, high) in global round order (checkpoint identity)."""
+    shift = 32 - bin_pow
+    groups = []
+    flat = []
+    for gl, gh in _split_rounds(hist, n_groups, bin_pow):
+        if gl > gh:
+            continue
+        sub = np.zeros_like(hist)
+        sub[gl >> shift : (gh >> shift) + 1] = hist[
+            gl >> shift : (gh >> shift) + 1
+        ]
+        inner = []
+        for lo, hi in _split_rounds(sub, n_inner, bin_pow):
+            lo2, hi2 = max(lo, gl), min(hi, gh)
+            if lo2 <= hi2:
+                inner.append((lo2, hi2, len(inner)))
+        if not inner:
+            inner = [(gl, gh, 0)]
+        groups.append((gl, gh, inner))
+        flat.extend((lo, hi) for lo, hi, _p in inner)
+    return groups, flat
 
 
 def _merge_keys(cat: np.ndarray, w: int) -> np.ndarray:
