@@ -149,4 +149,29 @@ void tp_free_result(TpFastaResult* r) {
   memset(r, 0, sizeof(*r));
 }
 
+// 12-byte junction records (uint32 pos + int64 id, little-endian) with
+// separator records auto-inserted at chromosome increments — exactly
+// the reference JunctionPositionWriter (junctionapi.h:118-132). `out`
+// must hold 12 * (n + chrs[n-1] - now_chr) bytes; returns bytes
+// written. One pass instead of numpy's strided scatter + copy chain.
+int64_t tp_emit_records(const int64_t* chrs, const uint32_t* pos,
+                        const int64_t* ids, int64_t n, int64_t now_chr,
+                        uint8_t* out) {
+  uint8_t* p = out;
+  int64_t cur = now_chr;
+  const uint32_t sep_pos = 0xFFFFFFFFu;
+  const int64_t sep_id = INT64_MAX;
+  for (int64_t i = 0; i < n; ++i) {
+    for (; cur < chrs[i]; ++cur) {
+      memcpy(p, &sep_pos, 4);
+      memcpy(p + 4, &sep_id, 8);
+      p += 12;
+    }
+    memcpy(p, &pos[i], 4);
+    memcpy(p + 4, &ids[i], 8);
+    p += 12;
+  }
+  return (int64_t)(p - out);
+}
+
 }  // extern "C"

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from twopaco_tpu.io import native as _native
+
 SEPARATOR_POS = np.uint32(0xFFFFFFFF)
 SEPARATOR_ID = np.int64((1 << 63) - 1)
 
@@ -70,6 +72,7 @@ class ChunkWriter:
     def __init__(self, path: str):
         self._f = open(path, "wb")
         self._now_chr = 0
+        self._scratch = None  # reused native assembly buffer
         sep = np.empty(1, dtype=RECORD_DTYPE)
         sep["pos"] = SEPARATOR_POS
         sep["id"] = SEPARATOR_ID
@@ -79,7 +82,19 @@ class ChunkWriter:
         n = len(chrs)
         if n == 0:
             return
-        chrs = np.asarray(chrs, np.int64)
+        chrs = np.ascontiguousarray(chrs, np.int64)
+        buf = _native.emit_records(
+            chrs,
+            np.ascontiguousarray(pos, np.uint32),
+            np.ascontiguousarray(ids, np.int64),
+            self._now_chr,
+            scratch=self._scratch,
+        )
+        if buf is not None:
+            self._scratch = buf.base if buf.base is not None else buf
+            self._f.write(buf.data)
+            self._now_chr = int(chrs[-1])
+            return
         scratch = np.empty((n, 3), np.uint32)
         scratch[:, 0] = pos
         scratch[:, 1:] = (

@@ -61,6 +61,15 @@ def _load():
             ]
             lib.tp_encode_fasta.restype = ctypes.c_int
             lib.tp_free_result.argtypes = [ctypes.POINTER(_TpFastaResult)]
+            lib.tp_emit_records.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.tp_emit_records.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -69,6 +78,39 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def emit_records(
+    chrs: np.ndarray,
+    pos: np.ndarray,
+    ids: np.ndarray,
+    now_chr: int,
+    scratch: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """Assemble one chunk of 12-byte junction records (+ separators at
+    chromosome increments) in one native pass; None if unavailable.
+    chrs int64 / pos uint32 / ids int64, all C-contiguous, same length.
+    `scratch` (uint8) is reused when big enough — callers in a write
+    loop should pass the previous return's `.base` to avoid refaulting
+    a fresh buffer per chunk.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(chrs)
+    n_sep = max(int(chrs[-1]) - now_chr, 0)
+    need = 12 * (n + n_sep)
+    if scratch is None or scratch.size < need:
+        scratch = np.empty(need, np.uint8)
+    written = lib.tp_emit_records(
+        chrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        now_chr,
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return scratch[:written]
 
 
 def encode_fasta_native(path: str) -> list[tuple[str, np.ndarray]] | None:
