@@ -101,7 +101,9 @@ def emit_records(
     n_sep = max(int(chrs[-1]) - now_chr, 0)
     need = 12 * (n + n_sep)
     if scratch is None or scratch.size < need:
-        scratch = np.empty(need, np.uint8)
+        from twopaco_tpu.hostmem import big_empty
+
+        scratch = big_empty(need, np.uint8)
     written = lib.tp_emit_records(
         chrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),

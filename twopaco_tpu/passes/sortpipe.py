@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from twopaco_tpu import dna
+from twopaco_tpu.hostmem import big_empty
 from twopaco_tpu.io import fasta as fasta_io
 from twopaco_tpu.io import junctions as junction_io
 from twopaco_tpu.io import windows
@@ -1535,7 +1536,7 @@ def merge_rounds_packed(
         return len(payload[1] if kind == "raw" else payload[0])
 
     total_o = sum(occ_len(k, p) for _, k, p in fetched)
-    buf = np.empty(total_o, np.uint64)
+    buf = big_empty(total_o, np.uint64)
     ofs = 0
     bias = np.int64(1) << 31
     for rtab, kind, payload in fetched:
@@ -1632,11 +1633,18 @@ def merge_rounds_and_emit(
     stats.timings["dict_remap"] = time.time() - t0
 
     if all_pos:
-        occ_pos = np.concatenate(all_pos)
-        occ_ids = np.concatenate(all_ids)
+        total = sum(len(p) for p in all_pos)
+        occ_pos = np.concatenate(all_pos, out=big_empty(total, np.int64))
+        occ_ids = np.concatenate(all_ids, out=big_empty(total, np.int64))
         order = np.argsort(occ_pos, kind="stable")
-        occ_pos = occ_pos[order]
-        occ_ids = occ_ids[order]
+        # mode="clip" (indices are in-bounds by construction) writes
+        # straight into `out`; mode="raise" buffers through a temp
+        occ_pos = np.take(
+            occ_pos, order, out=big_empty(total, np.int64), mode="clip"
+        )
+        occ_ids = np.take(
+            occ_ids, order, out=big_empty(total, np.int64), mode="clip"
+        )
     else:
         occ_pos = np.zeros(0, np.int64)
         occ_ids = np.zeros(0, np.int64)
