@@ -132,9 +132,12 @@ def encode_fasta_native(path: str) -> list[tuple[str, np.ndarray]] | None:
     try:
         n = res.n_records
         total = res.codes_len
-        codes = np.ctypeslib.as_array(res.codes, shape=(max(total, 1),))[
-            :total
-        ].copy()
+        from twopaco_tpu.hostmem import big_empty
+
+        codes = big_empty(max(total, 1), np.uint8)[:total]
+        codes[:] = np.ctypeslib.as_array(
+            res.codes, shape=(max(total, 1),)
+        )[:total]
         offs = np.ctypeslib.as_array(res.rec_offsets, shape=(n + 1,)).copy()
         raw_headers = ctypes.string_at(res.headers, res.headers_len)
         headers = raw_headers.split(b"\0")[:n]
