@@ -473,19 +473,33 @@ def emit_junctions_packed(
             iv,
         )
 
-    with junction_io.ChunkWriter(out_path) as w:
+    # pipeline decode against write: numpy releases the GIL for the
+    # big ufuncs, so chunk i+1 decodes while chunk i's bytes flush
+    from concurrent.futures import ThreadPoolExecutor
+
+    def chunk_iter():
         seg_start = np.concatenate([[0], ins])
         seg_end = np.concatenate([ins, [len(keys)]])
         for si in range(len(seg_start)):
             for a in range(seg_start[si], seg_end[si], CH):
                 b = min(a + CH, seg_end[si])
-                w.write(*map_keys(keys[a:b]))
+                yield lambda a=a, b=b: map_keys(keys[a:b])
             if si < len(stub_flat):
-                w.write(
-                    *map_flat(
-                        stub_flat[si : si + 1], stub_ids[si : si + 1]
-                    )
+                yield lambda si=si: map_flat(
+                    stub_flat[si : si + 1], stub_ids[si : si + 1]
                 )
+
+    with junction_io.ChunkWriter(out_path) as w, ThreadPoolExecutor(
+        1
+    ) as pool:
+        fut = None
+        for thunk in chunk_iter():
+            nxt = pool.submit(thunk)
+            if fut is not None:
+                w.write(*fut.result())
+            fut = nxt
+        if fut is not None:
+            w.write(*fut.result())
     if timings is not None:
         timings["emit_map"] = t_map
         timings["emit_write"] = time.time() - t0 - t_map
