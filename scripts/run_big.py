@@ -121,6 +121,33 @@ def main():
         validate=validate(out, n_seqs, length, enum.vertices_count),
         timings={k: round(v, 2) for k, v in enum.stats.timings.items()},
     )
+    # reference C++ comparison, when its run on the same input exists
+    # (scripts/measure: /tmp/refbuild/... -k 25 -f 36 -r 1 -t 4; its
+    # wall time is parsed from the companion log's final line)
+    ref_dbg, ref_log = "/tmp/twopaco_big_ref.dbg", "/tmp/big_ref.log"
+    if os.path.exists(ref_dbg) and os.path.exists(ref_log):
+        import re
+
+        m = re.search(
+            r"exit=0 wall=(\d+)s", open(ref_log).read()
+        )
+        if m:
+            ref_s = int(m.group(1))
+            sys.path.insert(0, os.path.join(REPO, "scripts"))
+            import check_parity as cp
+            from twopaco_tpu.io import junctions
+
+            res["reference"] = dict(
+                seconds=ref_s,
+                mbases_per_sec=round(total / ref_s / 1e6, 3),
+                config="-k 25 -f 36 -r 1 -t 4",
+            )
+            res["parity_vs_reference"] = bool(
+                cp.partitions_equal(
+                    junctions.read_junctions(out),
+                    junctions.read_junctions(ref_dbg),
+                )
+            )
     print(json.dumps(res), flush=True)
     json.dump(res, open(os.path.join(REPO, "RUN_BIG.json"), "w"), indent=2)
 
