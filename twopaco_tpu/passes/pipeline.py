@@ -380,7 +380,6 @@ def emit_junctions(
     return len(occ_pos) + len(stub_flat), len(stub_flat)
 
 
-_ID_BIAS = np.int64(1) << 31
 
 
 def emit_junctions_packed(
@@ -390,14 +389,19 @@ def emit_junctions_packed(
     table_len: int,
     P: int,
     timings: dict | None = None,
+    id_bits: int = 32,
 ) -> tuple[int, int]:
     """emit_junctions over a PACKED occurrence stream: keys (sorted
-    u64) = flat_pos << 32 | (signed id + 2^31). One array instead of
-    two int64 ones — junction-dense pangenome runs (e.g. 62-strain
-    E. coli, 126M occurrences) spent minutes faulting/concatenating
-    the unpacked form. Requires flat positions < 2^32 and
-    |id| < 2^31 (the caller falls back to emit_junctions otherwise)."""
+    u64) = flat_pos << id_bits | (signed id + 2^(id_bits-1)). One
+    array instead of two int64 ones — junction-dense pangenome runs
+    (e.g. 62-strain E. coli, 126M occurrences) spent minutes
+    faulting/concatenating the unpacked form. Requires flat positions
+    < 2^(64-id_bits) and |id| < 2^(id_bits-1) (the caller falls back
+    to emit_junctions otherwise)."""
     t0 = time.time()
+    ib = np.uint64(id_bits)
+    id_bias = np.int64(1) << (id_bits - 1)
+    id_mask = np.uint64((1 << id_bits) - 1)
     seq_id = np.concatenate([b.seq_id for b in batches]).astype(np.int64)
     pos0 = np.concatenate([b.pos0 for b in batches])
     valid = np.concatenate([b.valid for b in batches]).astype(np.int64)
@@ -407,14 +411,14 @@ def emit_junctions_packed(
     live = seq_id >= 0
 
     def present(flats):
-        # an occurrence at flat position f has key in [f<<32, (f+1)<<32)
+        # an occurrence at flat f has key in [f<<id_bits, (f+1)<<id_bits)
         if len(keys) == 0:
             return np.zeros(len(flats), bool)
         idx = np.minimum(
-            np.searchsorted(keys, flats.astype(np.uint64) << np.uint64(32)),
+            np.searchsorted(keys, flats.astype(np.uint64) << ib),
             len(keys) - 1,
         )
-        return (keys[idx] >> np.uint64(32)).astype(np.int64) == flats
+        return (keys[idx] >> ib).astype(np.int64) == flats
 
     first_flat = rows * P
     pre = live & (pos0 == 1) & ~present(first_flat)
@@ -433,7 +437,7 @@ def emit_junctions_packed(
         + STUB_ID_OFFSET
     )
     ins = np.searchsorted(
-        keys, stub_flat.astype(np.uint64) << np.uint64(32), side="left"
+        keys, stub_flat.astype(np.uint64) << ib, side="left"
     )
     if timings is not None:
         timings["emit_stub"] = time.time() - t0
@@ -444,18 +448,25 @@ def emit_junctions_packed(
 
     p_shift = P.bit_length() - 1 if P & (P - 1) == 0 else None
 
+    def split_key(kv):
+        """(flat positions, signed ids) from a key chunk."""
+        if id_bits == 32:
+            # u32 halves through a view (little-endian: [0]=id,
+            # [1]=pos) — in-place u64 ufuncs measured far slower
+            halves = kv.view(np.uint32).reshape(-1, 2)
+            return halves[:, 1], halves[:, 0].astype(np.int64) - id_bias
+        fv = (kv >> ib).view(np.int64)
+        iv = (kv & id_mask).view(np.int64) - id_bias
+        return fv, iv
+
     def map_keys(kv):
         nonlocal t_map
         tm = time.time()
-        # decode the u32 halves through a view (little-endian: [0]=id,
-        # [1]=pos) — u64 shift/mask ufuncs are ~20x slower; same for
-        # the row split: int64 division runs ~25M/s, shifts ~500M/s
-        halves = kv.view(np.uint32).reshape(-1, 2)
-        fv = halves[:, 1]
-        iv = halves[:, 0].astype(np.int64) - _ID_BIAS
+        fv, iv = split_key(kv)
         if p_shift is not None:
-            row_of = (fv >> np.uint32(p_shift)).astype(np.int64)
-            col = fv & np.uint32(P - 1)
+            # int64 division runs ~25M/s, shifts ~500M/s
+            row_of = (fv >> fv.dtype.type(p_shift)).astype(np.int64)
+            col = fv & fv.dtype.type(P - 1)
         else:
             fv64 = fv.astype(np.int64)
             row_of = fv64 // P

@@ -911,60 +911,101 @@ def _round_to_host(table_dev, op_dev, oi_dev, n_junc, n_occ):
 # ---- 4-byte packed occurrence fetch ---------------------------------
 #
 # The D2H tunnel (~8-15 MB/s) makes occurrence collection the long pole
-# on junction-dense runs. Instead of fetching (pos u32, id i32) = 8
-# bytes per occurrence, the device sorts each round's occurrences by
-# position and emits one u32 per occurrence:
+# on junction-dense runs. Instead of fetching (pos u32[, u32], id i32)
+# = 8-12 bytes per occurrence, the device sorts each round's
+# occurrences by position and emits one u32 per occurrence:
 #
-#   packed = delta << 18 | sign << 17 | local_rank      (delta < 2^14)
+#   packed = delta << (lid_bits+1) | sign << lid_bits | local_rank
 #
-# plus a tiny exception table (index, full position) for deltas >= 2^14
-# — count(delta >= 2^14) <= max_pos / 2^14, so the exception buffer is
-# statically bounded by n_slots >> 14 (+1 for the first record) and can
-# NEVER overflow. Host reconstructs positions with one cumsum + a
-# per-exception segment rebase. Applies when positions are narrow, the
-# round's table fits 17 bits, and expected exceptions are negligible.
+# with delta_bits + 1 + lid_bits = 32, the split chosen per round so
+# the round's table fits lid_bits. A tiny exception table (index, full
+# position) carries deltas >= 2^delta_bits — deltas sum to at most
+# max_pos, so count(delta >= 2^d) <= n_slots >> d: with delta_bits >=
+# _OCC_MIN_DELTA_BITS the exception buffer is statically bounded and
+# can NEVER overflow. Host reconstructs positions with one cumsum + a
+# per-exception segment rebase. Works for narrow AND wide (u32-pair)
+# positions.
 
-_OCC_DELTA_BITS = 14
-_OCC_LID_BITS = 17
+_OCC_MIN_DELTA_BITS = 11
+_OCC_MAX_DELTA_BITS = 14
 
 
-@partial(jax.jit, static_argnames=("exc_cap",))
-def _pack_occ(pos, oi, n_occ, *, exc_cap: int):
-    """pos (cap,) u32, oi (cap,) i32 (signed 1-based round-local ranks,
-    first n_occ live) -> (packed (cap,) u32 pos-sorted, exc_idx
-    (exc_cap,) u32 [0xFFFFFFFF-terminated], exc_pos (exc_cap,) u32)."""
-    cap = pos.shape[0]
+def _occ_pack_spec(n_junc: int, n_occ: int, n_slots: int):
+    """delta_bits for this round's 4-byte packing, or None when packing
+    does not apply (table too big for <= 20 lid bits, or occurrences so
+    sparse that exceptions would dominate)."""
+    lid_bits = max(n_junc.bit_length(), 1)
+    delta_bits = min(_OCC_MAX_DELTA_BITS, 31 - lid_bits)
+    if delta_bits < _OCC_MIN_DELTA_BITS:
+        return None
+    # expected exception rate ~ exp(-2^d / mean spacing): require
+    # 2^d >= 2 * spacing (rate < e^-2 = 14%; exceptions cost 12B vs
+    # the 4-12B/occurrence saved, so packing still wins comfortably)
+    if (n_occ << delta_bits) < 2 * n_slots:
+        return None
+    return delta_bits
+
+
+@partial(jax.jit, static_argnames=("exc_cap", "delta_bits"))
+def _pack_occ(pos, oi, n_occ, *, exc_cap: int, delta_bits: int):
+    """pos: 1-tuple (narrow) or 2-tuple (hi, lo) of (cap,) u32 columns;
+    oi (cap,) i32 signed 1-based round-local ranks; first n_occ live.
+    -> (packed (cap,) u32 position-sorted, exc_idx (exc_cap,) u32
+    [0xFFFFFFFF-terminated], exc_hi, exc_lo (exc_cap,) u32)."""
+    cap = oi.shape[0]
+    lid_bits = 31 - delta_bits
     idx = jnp.arange(cap, dtype=U32)
     live = idx < n_occ
-    key = jnp.where(live, pos, jnp.uint32(0xFFFFFFFF))
-    key, oi_s = jax.lax.sort((key, oi), num_keys=1)
-    prev = jnp.concatenate([jnp.zeros(1, U32), key[:-1]])
-    delta = key - prev
+    if len(pos) == 1:
+        lo = jnp.where(live, pos[0], jnp.uint32(0xFFFFFFFF))
+        lo_s, oi_s = jax.lax.sort((lo, oi), num_keys=1)
+        hi_s = jnp.zeros(cap, U32)
+        plo = jnp.concatenate([jnp.zeros(1, U32), lo_s[:-1]])
+        dlo = lo_s - plo
+        small = dlo < U32(1 << delta_bits)
+    else:
+        hi = jnp.where(live, pos[0], jnp.uint32(0xFFFFFFFF))
+        lo = jnp.where(live, pos[1], jnp.uint32(0xFFFFFFFF))
+        hi_s, lo_s, oi_s = jax.lax.sort((hi, lo, oi), num_keys=2)
+        phi = jnp.concatenate([jnp.zeros(1, U32), hi_s[:-1]])
+        plo = jnp.concatenate([jnp.zeros(1, U32), lo_s[:-1]])
+        dlo = lo_s - plo
+        borrow = (lo_s < plo).astype(U32)
+        dhi = hi_s - phi - borrow
+        small = (dhi == 0) & (dlo < U32(1 << delta_bits))
+    delta = jnp.where(small, dlo, U32(0))
     lid = jnp.abs(oi_s).astype(U32)
     sign = (oi_s < 0).astype(U32)
-    exc = (delta >= U32(1 << _OCC_DELTA_BITS)) & live
+    exc = (~small) & live  # live rows sorted first; rest are sentinels
     packed = (
-        (jnp.where(exc, U32(0), delta) << U32(_OCC_LID_BITS + 1))
-        | (sign << U32(_OCC_LID_BITS))
-        | lid
+        (delta << U32(lid_bits + 1)) | (sign << U32(lid_bits)) | lid
     )
     exc_key = jnp.where(exc, idx, jnp.uint32(0xFFFFFFFF))
-    exc_idx, exc_pos = jax.lax.sort((exc_key, key), num_keys=1)
-    return packed, exc_idx[:exc_cap], exc_pos[:exc_cap]
+    exc_idx, exc_hi, exc_lo = jax.lax.sort(
+        (exc_key, hi_s, lo_s), num_keys=1
+    )
+    return (
+        packed,
+        exc_idx[:exc_cap],
+        exc_hi[:exc_cap],
+        exc_lo[:exc_cap],
+        jnp.sum(exc, dtype=jnp.int32),
+    )
 
 
-def _unpack_occ(packed, exc_idx, exc_pos):
-    """Host inverse of _pack_occ for one round: (pos u32, sign bool,
+def _unpack_occ(packed, exc_idx, exc_hi, exc_lo, delta_bits):
+    """Host inverse of _pack_occ for one round: (pos int64, sign bool,
     lid u32) with positions ascending."""
     n = len(packed)
+    lid_bits = 31 - delta_bits
     n_exc = int(np.searchsorted(exc_idx, np.uint32(0xFFFFFFFF)))
-    lid = packed & np.uint32((1 << _OCC_LID_BITS) - 1)
-    sign = (packed >> np.uint32(_OCC_LID_BITS)) & np.uint32(1)
-    pos = np.cumsum(
-        packed >> np.uint32(_OCC_LID_BITS + 1), dtype=np.uint32
-    )
+    lid = packed & np.uint32((1 << lid_bits) - 1)
+    sign = (packed >> np.uint32(lid_bits)) & np.uint32(1)
+    pos = np.cumsum(packed >> np.uint32(lid_bits + 1), dtype=np.int64)
     # each exception opens a segment rebased to its true position
-    # (u32 wraparound arithmetic is exact here: true positions < 2^32)
+    exc_pos = (exc_hi[:n_exc].astype(np.int64) << 32) | exc_lo[
+        :n_exc
+    ].astype(np.int64)
     bounds = np.append(exc_idx[:n_exc], n).astype(np.int64)
     for j in range(n_exc):
         a, b = bounds[j], bounds[j + 1]
@@ -985,16 +1026,21 @@ def _fetch_round_exact(tab_d, op_d, oi_d, n_junc, n_occ):
     )
 
 
-def _fetch_round_packed(tab_d, packed_d, exc_i_d, exc_p_d, n_junc, n_occ):
+def _fetch_round_packed(
+    tab_d, packed_d, exc_i_d, exc_hi_d, exc_lo_d, n_junc, n_occ,
+    delta_bits,
+):
     """Fetch one round in 4-byte packed form -> (table, "packed",
-    (packed u32 (n_occ,), exc_idx, exc_pos))."""
+    (packed u32 (n_occ,), exc_idx, exc_hi, exc_lo, delta_bits))."""
     return (
         np.asarray(tab_d)[:n_junc],
         "packed",
         (
             np.asarray(packed_d)[:n_occ],
             np.asarray(exc_i_d),
-            np.asarray(exc_p_d),
+            np.asarray(exc_hi_d),
+            np.asarray(exc_lo_d),
+            delta_bits,
         ),
     )
 
@@ -1005,11 +1051,10 @@ def _round_raw_occ(kind, payload):
     if kind == "raw":
         opc, oi = payload
         return _host_pos(opc), oi
-    packed, exc_i, exc_p = payload
-    pos, sign, lid = _unpack_occ(packed, exc_i, exc_p)
+    pos, sign, lid = _unpack_occ(*payload)
     oi = lid.astype(np.int64)
     np.negative(oi, where=sign, out=oi)
-    return pos.astype(np.int64), oi
+    return pos, oi
 
 
 def _fetch_cap(count: int, hard_max: int) -> int:
@@ -1272,9 +1317,12 @@ def build_junctions_sorted(
 
         fetcher = ThreadPoolExecutor(max_workers=1)
     # exception capacity for the 4-byte packed fetch: deltas sum to at
-    # most max_pos, so at most n_slots >> 14 of them reach 2^14 (+1 for
-    # the round's first record) — statically safe, never overflows
-    occ_exc_cap = _next_pow2(max((n_slots >> _OCC_DELTA_BITS) + 2, 16))
+    # most max_pos, so at most n_slots >> delta_bits reach 2^delta_bits
+    # (+1 for the round's first record) — statically safe at the
+    # minimum split, never overflows
+    occ_exc_cap = _next_pow2(
+        max((n_slots >> _OCC_MIN_DELTA_BITS) + 2, 16)
+    )
     judge_chunk = min(JUDGE_CHUNK, buf_slots)
     if stacked is not None:
         dev_batches = None  # scan-stream rounds use the stacked form
@@ -1369,20 +1417,25 @@ def build_junctions_sorted(
             # results over the tunnel WHILE the next rounds compute —
             # D2H is the long pole (~8-15 MB/s) and the runtime has no
             # usable async fetch (copy_to_host_async hangs)
-            if (
-                not wide
-                and n_junc < (1 << _OCC_LID_BITS)
-                and 0 < n_occ
-                and n_occ << _OCC_DELTA_BITS >= 8 * n_slots
-            ):
+            spec = (
+                _occ_pack_spec(n_junc, n_occ, n_slots)
+                if n_occ > 0
+                else None
+            )
+            if spec is not None:
                 # dense rounds: 4 bytes/occurrence over the tunnel
-                packed, exc_i, exc_p = _pack_occ(
-                    op_d[0], oi_d, jnp.uint32(n_occ), exc_cap=occ_exc_cap
+                packed, exc_i, exc_hi, exc_lo, n_exc_d = _pack_occ(
+                    op_d, oi_d, jnp.uint32(n_occ),
+                    exc_cap=occ_exc_cap, delta_bits=spec,
                 )
+                # fetch exceptions by exact count (the statically-safe
+                # buffer can be tens of MB at Gbase scale)
+                ecf = _fetch_cap(max(int(n_exc_d), 1), occ_exc_cap)
                 pending.append(
                     fetcher.submit(
                         _fetch_round_packed,
-                        tab_d, packed, exc_i, exc_p, n_junc, n_occ,
+                        tab_d, packed, exc_i[:ecf], exc_hi[:ecf],
+                        exc_lo[:ecf], n_junc, n_occ, spec,
                     )
                 )
             else:
@@ -1448,10 +1501,15 @@ def build_junctions_sorted(
             ]
         stats.timings["collect"] = time.time() - t0
         total_j = sum(len(t) for t, _, _ in fetched)
-        if not wide and total_j + 2 * len(sequences) + 64 < (1 << 31):
+        # u64 merge keys: pos in the high bits, biased signed id below.
+        # Narrow runs use a fixed 32/32 split (u32-view fast paths);
+        # wide runs split at the position width when ids still fit.
+        pos_bits = 32 if not wide else max(n_slots.bit_length(), 33)
+        id_bits = 64 - pos_bits
+        if total_j + 2 * len(sequences) + 64 < (1 << (id_bits - 1)):
             return merge_rounds_packed(
                 fetched, batches, cfg, config, out_path, stats, log,
-                t_start,
+                t_start, pos_bits=pos_bits,
             )
         round_tables = [t for t, _, _ in fetched]
         round_occ = [_round_raw_occ(k, p) for _, k, p in fetched]
@@ -1507,18 +1565,21 @@ def _merge_keys(cat: np.ndarray, w: int) -> np.ndarray:
 
 def merge_rounds_packed(
     fetched, batches, cfg, config, out_path, stats, log, t_start,
+    pos_bits: int = 32,
 ):
-    """Fast merge for narrow runs (flat positions < 2^32, |global id|
-    < 2^31): per-round occurrences are packed straight into ONE
-    preallocated u64 key buffer (pos << 32 | biased id) and sorted in
-    place. The unpacked path (merge_rounds_and_emit) concatenates,
-    argsorts and re-gathers several int64 arrays — at pangenome
-    occurrence densities (126M occurrences for 62 E. coli strains)
-    that cost minutes of demand-faulted page churn; this path touches
-    one 8-byte-per-occurrence buffer once.
+    """Fast merge: per-round occurrences are packed straight into ONE
+    preallocated u64 key buffer (pos << id_bits | biased id, id_bits =
+    64 - pos_bits) and sorted in place. The unpacked path
+    (merge_rounds_and_emit) concatenates, argsorts and re-gathers
+    several int64 arrays — at pangenome occurrence densities (126M
+    occurrences for 62 E. coli strains) that cost minutes of
+    demand-faulted page churn; this path touches one
+    8-byte-per-occurrence buffer once. Caller guarantees positions fit
+    pos_bits and |global id| + bias fits id_bits.
 
     fetched[r] = (table (nj, w) u32, kind, payload) where kind/payload
     is "raw"/((pos_comps,), ids) or "packed" (see _pack_occ)."""
+    id_bits = 64 - pos_bits
     t0 = time.time()
     tables = [t for t, _, _ in fetched]
     if sum(len(t) for t in tables):
@@ -1538,7 +1599,7 @@ def merge_rounds_packed(
     total_o = sum(occ_len(k, p) for _, k, p in fetched)
     buf = big_empty(total_o, np.uint64)
     ofs = 0
-    bias = np.int64(1) << 31
+    bias = np.int64(1) << (id_bits - 1)
     for rtab, kind, payload in fetched:
         n = occ_len(kind, payload)
         if n == 0:
@@ -1548,19 +1609,29 @@ def merge_rounds_packed(
         ).astype(np.int64)
         if kind == "raw":
             opc, oi = payload
-            pos32 = opc[0]
+            pos = opc[0] if len(opc) == 1 else _host_pos(opc)
             gid = remap[np.abs(oi).astype(np.int64) - 1] + 1
             np.negative(gid, where=oi < 0, out=gid)
         else:
-            pos32, sign, lid = _unpack_occ(*payload)
+            pos, sign, lid = _unpack_occ(*payload)
             gid = remap[lid.astype(np.int64) - 1] + 1
             np.negative(gid, where=sign, out=gid)
-        # write the two u32 halves through a view: numpy's u64
-        # shift/or ufuncs are ~20x slower than u32 stores (measured
-        # 0.52s vs 0.01s per 2.2M-row round)
-        seg = buf[ofs : ofs + n].view(np.uint32).reshape(-1, 2)
-        seg[:, 1] = pos32
-        seg[:, 0] = (gid + bias).astype(np.uint32)
+        seg64 = buf[ofs : ofs + n]
+        if pos_bits == 32:
+            # write the two u32 halves through a view: numpy's
+            # in-place u64 shift/or ufuncs measured ~20x slower
+            seg = seg64.view(np.uint32).reshape(-1, 2)
+            seg[:, 1] = pos  # u32 or int64 -> u32 cast
+            seg[:, 0] = (gid + bias).astype(np.uint32)
+        else:
+            np.left_shift(
+                np.asarray(pos, np.int64).view(np.uint64),
+                np.uint64(id_bits),
+                out=seg64,
+            )
+            np.bitwise_or(
+                seg64, (gid + bias).view(np.uint64), out=seg64
+            )
         ofs += n
     stats.timings["dict_remap"] = time.time() - t0
     buf.sort()
@@ -1573,7 +1644,7 @@ def merge_rounds_packed(
         c0 = time.process_time()
         occurrences, n_stubs = emit_junctions_packed(
             out_path, batches, buf, len(table), cfg.P,
-            timings=stats.timings,
+            timings=stats.timings, id_bits=id_bits,
         )
         stats.occurrences = occurrences
         stats.stub_ids = n_stubs
