@@ -876,7 +876,7 @@ def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
 
     Fetches only the three 8-byte counts (which forces the round's
     execution — honest per-round timing) and returns pow2-bucketed
-    device slices; `_round_to_host` materializes them later, off the
+    device slices; the fetch helpers materialize them later, off the
     round critical path. (copy_to_host_async is deliberately NOT used:
     on the axon runtime it makes the subsequent fetch hang forever.)
     Returns (table_dev (cap_t, w), op_dev tuple, oi_dev (cap_o,),
@@ -897,15 +897,6 @@ def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
         n_junc,
         n_occ,
     )
-
-
-def _round_to_host(table_dev, op_dev, oi_dev, n_junc, n_occ):
-    """Materialize one round's async-copied results as exact-size host
-    arrays (table (n_junc, w), occ_pos int64, occ_ids)."""
-    table = np.asarray(table_dev)[:n_junc]
-    op = _host_pos(op_dev)[:n_occ]
-    oi = np.asarray(oi_dev)[:n_occ]
-    return table, op, oi
 
 
 # ---- 4-byte packed occurrence fetch ---------------------------------
@@ -1093,16 +1084,46 @@ class _Checkpoint(RoundCheckpoint):
         )
 
     def load_round(self, r: int):
+        """-> ((table, kind, payload) fetched-style entry, rstats)."""
         got = super().load_round(r)
         if got is None:
             return None
         arrays, rstats = got
-        return arrays["table"], arrays["occ_pos"], arrays["occ_ids"], rstats
+        if "packed" in arrays:
+            entry = (
+                arrays["table"],
+                "packed",
+                (
+                    arrays["packed"],
+                    arrays["exc_i"],
+                    arrays["exc_hi"],
+                    arrays["exc_lo"],
+                    int(arrays["delta_bits"]),
+                ),
+            )
+        else:
+            entry = (
+                arrays["table"],
+                "raw",
+                ((arrays["occ_pos"],), arrays["occ_ids"]),
+            )
+        return entry, rstats
 
-    def save_round(self, r, table, occ_pos, occ_ids, rstats) -> None:
-        super().save_round(
-            r, rstats, table=table, occ_pos=occ_pos, occ_ids=occ_ids
-        )
+    def save_round(self, r, entry, rstats) -> None:
+        table, kind, payload = entry
+        if kind == "packed":
+            packed, exc_i, exc_hi, exc_lo, delta_bits = payload
+            super().save_round(
+                r, rstats, table=table, packed=packed, exc_i=exc_i,
+                exc_hi=exc_hi, exc_lo=exc_lo,
+                delta_bits=np.int64(delta_bits),
+            )
+        else:
+            opc, oi = payload
+            super().save_round(
+                r, rstats, table=table, occ_pos=_host_pos(opc),
+                occ_ids=oi,
+            )
 
 
 def build_junctions_sorted(
@@ -1305,10 +1326,10 @@ def build_junctions_sorted(
         checkpoint_dir, config, n_slots, intervals, fingerprint
     )
 
-    round_tables: list[np.ndarray] = []
-    round_occ: list[tuple[np.ndarray, np.ndarray]] = []  # (pos, local ids)
     fetcher = None
-    pending = []  # futures of _fetch_round_exact, in round order
+    # per-round results in round order: Futures (fast path), ("entry",
+    # fetched-entry) (durable/restored), or ("defer", fetch_args)
+    pending: list = []
     if (
         checkpoint_dir is None
         and os.environ.get("TWOPACO_FETCH_THREAD", "1") != "0"
@@ -1369,9 +1390,8 @@ def build_junctions_sorted(
                 )
         restored = ckpt.load_round(r)
         if restored is not None:
-            table, op, oi, rstats = restored
-            round_tables.append(table)
-            round_occ.append((op, oi))
+            entry, rstats = restored
+            pending.append(("entry", entry))
             stats.rounds.append(rstats)
             log(f"Round {r}: restored from checkpoint")
             continue
@@ -1407,49 +1427,40 @@ def build_junctions_sorted(
         tab_d, op_d, oi_d, n_groups, n_junc, n_occ = _finish_round(
             sw, pay, pos, abundance_d, check_ab, judge_chunk, cfg.w
         )
-        if checkpoint_dir is not None:
-            # durable path: materialize now so the round can be saved
-            table, op, oi = _round_to_host(tab_d, op_d, oi_d, n_junc, n_occ)
-            round_occ.append((op, oi))
-            round_tables.append(table)
-        elif fetcher is not None:
-            # fast path: a background thread pulls the finished round's
-            # results over the tunnel WHILE the next rounds compute —
-            # D2H is the long pole (~8-15 MB/s) and the runtime has no
-            # usable async fetch (copy_to_host_async hangs)
-            spec = (
-                _occ_pack_spec(n_junc, n_occ, n_slots)
-                if n_occ > 0
-                else None
+        spec = (
+            _occ_pack_spec(n_junc, n_occ, n_slots) if n_occ > 0 else None
+        )
+        if spec is not None:
+            # dense round: 4 bytes/occurrence over the ~8-15 MB/s
+            # tunnel (and 3x smaller round checkpoints)
+            packed, exc_i, exc_hi, exc_lo, n_exc_d = _pack_occ(
+                op_d, oi_d, jnp.uint32(n_occ),
+                exc_cap=occ_exc_cap, delta_bits=spec,
             )
-            if spec is not None:
-                # dense rounds: 4 bytes/occurrence over the tunnel
-                packed, exc_i, exc_hi, exc_lo, n_exc_d = _pack_occ(
-                    op_d, oi_d, jnp.uint32(n_occ),
-                    exc_cap=occ_exc_cap, delta_bits=spec,
-                )
-                # fetch exceptions by exact count (the statically-safe
-                # buffer can be tens of MB at Gbase scale)
-                ecf = _fetch_cap(max(int(n_exc_d), 1), occ_exc_cap)
-                pending.append(
-                    fetcher.submit(
-                        _fetch_round_packed,
-                        tab_d, packed, exc_i[:ecf], exc_hi[:ecf],
-                        exc_lo[:ecf], n_junc, n_occ, spec,
-                    )
-                )
-            else:
-                pending.append(
-                    fetcher.submit(
-                        _fetch_round_exact, tab_d, op_d, oi_d, n_junc,
-                        n_occ,
-                    )
-                )
+            # fetch exceptions by exact count (the statically-safe
+            # buffer can be tens of MB at Gbase scale)
+            ecf = _fetch_cap(max(int(n_exc_d), 1), occ_exc_cap)
+            fetch_args = (
+                _fetch_round_packed, tab_d, packed, exc_i[:ecf],
+                exc_hi[:ecf], exc_lo[:ecf], n_junc, n_occ, spec,
+            )
         else:
-            # the async device->host copies overlap the next
-            # round's compute; materialized after the loop
-            round_occ.append((op_d, oi_d, n_occ))
-            round_tables.append((tab_d, n_junc))
+            fetch_args = (
+                _fetch_round_exact, tab_d, op_d, oi_d, n_junc, n_occ,
+            )
+        if fetcher is not None:
+            # fast path: a background thread pulls the finished round's
+            # results over the tunnel WHILE the next rounds compute
+            # (the runtime has no usable async fetch —
+            # copy_to_host_async hangs)
+            pending.append(fetcher.submit(*fetch_args))
+        elif checkpoint_dir is not None:
+            # durable path: materialize now so the round can be saved
+            pending.append(("entry", fetch_args[0](*fetch_args[1:])))
+        else:
+            # escape hatch (TWOPACO_FETCH_THREAD=0): materialize after
+            # the loop; async D2H copies overlap the next rounds
+            pending.append(("defer", fetch_args))
         t_finish = time.time() - t0
         del sw, pay, pos
         stats.rounds.append(
@@ -1475,44 +1486,36 @@ def build_junctions_sorted(
             f"Distinct k-mers = {n_groups}\nOccurrences = {n_occ}"
         )
         if checkpoint_dir is not None:
-            ckpt.save_round(
-                r, round_tables[-1], round_occ[-1][0], round_occ[-1][1],
-                stats.rounds[-1],
-            )
+            ckpt.save_round(r, pending[-1][1], stats.rounds[-1])
 
     parts_w = parts_pay = parts_pos = None  # release resident parts
-    if checkpoint_dir is None:
-        # collect the (thread-overlapped) copies
-        t0 = time.time()
-        if fetcher is not None:
-            fetched = [f.result() for f in pending]
-            fetcher.shutdown()
+    # collect the (thread-overlapped) copies
+    t0 = time.time()
+    fetched = []
+    for e in pending:
+        if hasattr(e, "result"):
+            fetched.append(e.result())
+        elif e[0] == "entry":
+            fetched.append(e[1])
         else:
-            fetched = [
-                (
-                    np.asarray(t)[:nj],
-                    "raw",
-                    (
-                        tuple(np.asarray(c)[:no] for c in opc),
-                        np.asarray(oi)[:no],
-                    ),
-                )
-                for (t, nj), (opc, oi, no) in zip(round_tables, round_occ)
-            ]
-        stats.timings["collect"] = time.time() - t0
-        total_j = sum(len(t) for t, _, _ in fetched)
-        # u64 merge keys: pos in the high bits, biased signed id below.
-        # Narrow runs use a fixed 32/32 split (u32-view fast paths);
-        # wide runs split at the position width when ids still fit.
-        pos_bits = 32 if not wide else max(n_slots.bit_length(), 33)
-        id_bits = 64 - pos_bits
-        if total_j + 2 * len(sequences) + 64 < (1 << (id_bits - 1)):
-            return merge_rounds_packed(
-                fetched, batches, cfg, config, out_path, stats, log,
-                t_start, pos_bits=pos_bits,
-            )
-        round_tables = [t for t, _, _ in fetched]
-        round_occ = [_round_raw_occ(k, p) for _, k, p in fetched]
+            fn, *args = e[1]
+            fetched.append(fn(*args))
+    if fetcher is not None:
+        fetcher.shutdown()
+    stats.timings["collect"] = time.time() - t0
+    total_j = sum(len(t) for t, _, _ in fetched)
+    # u64 merge keys: pos in the high bits, biased signed id below.
+    # Narrow runs use a fixed 32/32 split (u32-view fast paths);
+    # wide runs split at the position width when ids still fit.
+    pos_bits = 32 if not wide else max(n_slots.bit_length(), 33)
+    id_bits = 64 - pos_bits
+    if total_j + 2 * len(sequences) + 64 < (1 << (id_bits - 1)):
+        return merge_rounds_packed(
+            fetched, batches, cfg, config, out_path, stats, log,
+            t_start, pos_bits=pos_bits,
+        )
+    round_tables = [t for t, _, _ in fetched]
+    round_occ = [_round_raw_occ(k, p) for _, k, p in fetched]
     return merge_rounds_and_emit(
         round_tables, round_occ, batches, cfg, config, out_path, stats,
         log, t_start,
