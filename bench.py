@@ -24,9 +24,40 @@ FA = "/tmp/twopaco_bench.fa"
 OUT = "/tmp/tpu_bench.dbg"
 
 
+def _wait_tunnel(max_wait_s: int = 1800) -> None:
+    """The remote-TPU relay (127.0.0.1:8082...) can be down; touching
+    jax then hangs FOREVER in a claim-retry loop. Wait for it (it is
+    restarted out-of-band) and fail loudly instead of hanging."""
+    import socket
+
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        for port in (8082, 8092, 8102, 8112):
+            try:
+                with socket.create_connection(("127.0.0.1", port), 1):
+                    return
+            except OSError:
+                pass
+        time.sleep(10)
+    print(
+        json.dumps(
+            {
+                "metric": "junction enumeration throughput",
+                "value": 0,
+                "unit": "Mbases/s/chip",
+                "vs_baseline": None,
+                "error": "TPU tunnel relay down (ports 8082+) for "
+                f"{max_wait_s}s — cannot reach the device",
+            }
+        )
+    )
+    sys.exit(1)
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     n_seqs, length = (2, 1_000_000) if quick else (N_SEQS, LENGTH)
+    _wait_tunnel()
 
     from twopaco_tpu.testing.bench_data import write_bench_fasta
 

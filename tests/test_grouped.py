@@ -60,3 +60,27 @@ def test_grouped_checkpoint_resume(tmp_path, monkeypatch):
     assert any("restored from checkpoint" in s for s in logs)
     with open(out1, "rb") as a, open(out2, "rb") as b:
         assert a.read() == b.read()
+
+
+def test_grouped_wide_matches_narrow(tmp_path, monkeypatch):
+    """Grouped engine with forced wide positions must match the
+    default narrow resident run byte-for-byte."""
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 4, size=4000).astype(np.uint8)
+    seqs = []
+    for i in range(3):
+        s = base.copy()
+        if i:
+            flip = rng.random(len(s)) < 0.02
+            s[flip] = rng.integers(0, 4, size=int(flip.sum()))
+        seqs.append(s)
+
+    ref_out, ref_enum = _run(tmp_path, "narrow.dbg", seqs)
+
+    monkeypatch.setattr(sortpipe, "_RESIDENT_BYTES", 1)
+    monkeypatch.setenv("TWOPACO_POS64", "1")
+    got_out, got_enum = _run(tmp_path, "wide_grouped.dbg", seqs)
+
+    assert got_enum.vertices_count == ref_enum.vertices_count
+    with open(ref_out, "rb") as a, open(got_out, "rb") as b:
+        assert a.read() == b.read()
