@@ -125,7 +125,11 @@ def main():
     # (scripts/measure: /tmp/refbuild/... -k 25 -f 36 -r 1 -t 4; its
     # wall time is parsed from the companion log's final line)
     ref_dbg, ref_log = "/tmp/twopaco_big_ref.dbg", "/tmp/big_ref.log"
-    if os.path.exists(ref_dbg) and os.path.exists(ref_log):
+    if (
+        total == 5_000_000_000  # the measured reference ran on 10x500M
+        and os.path.exists(ref_dbg)
+        and os.path.exists(ref_log)
+    ):
         import re
 
         m = re.search(
