@@ -24,7 +24,9 @@ FA = "/tmp/twopaco_bench.fa"
 OUT = "/tmp/tpu_bench.dbg"
 
 
-def _wait_tunnel(max_wait_s: int = 1800) -> None:
+def _wait_tunnel(
+    max_wait_s: int = int(os.environ.get("TWOPACO_TUNNEL_WAIT_S", 1800)),
+) -> None:
     """The remote-TPU relay (127.0.0.1:8082...) can be down; touching
     jax then hangs FOREVER in a claim-retry loop. Wait for it (it is
     restarted out-of-band) and fail loudly instead of hanging."""
