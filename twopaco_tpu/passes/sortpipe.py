@@ -1596,6 +1596,15 @@ def merge_rounds_packed(
         # misses
         order = np.argsort(keys)
         table = np.ascontiguousarray(cat[order])
+        sorted_keys = keys[order]
+        if len(sorted_keys) > 1 and not bool(
+            (sorted_keys[1:] > sorted_keys[:-1]).all()
+        ):
+            raise AssertionError(
+                "duplicate junction keys across rounds — hash "
+                "intervals must partition the k-mer space"
+            )
+        del sorted_keys
         inv = np.empty(len(keys), np.int64)
         inv[order] = np.arange(len(keys), dtype=np.int64)
     else:
