@@ -1,6 +1,6 @@
 """Benchmark: end-to-end junction enumeration throughput on real TPU.
 
-Prints ONE JSON line:
+Prints JSON lines; the LAST line is the result:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Workload: the BASELINE_MEASURED.json dataset (8 x 8 Mbase synthetic
@@ -8,12 +8,23 @@ pangenome, 1% SNP, k=25, f=30) — the same input measured on the
 reference C++ binary (scripts/measure_baseline.py). vs_baseline is our
 bases/s divided by the reference's best multithreaded bases/s on this
 machine. The first invocation pays one-time XLA compiles (persisted in
-the compile cache); the timed run is the second, warm pass.
+the compile cache); the timed runs are warm passes on unseen genomes.
+
+Robustness contract (the driver runs this under a kill timeout):
+  - If the TPU tunnel relay is down, wait at most TWOPACO_TUNNEL_WAIT_S
+    (default 240s), then print an error JSON line and exit.
+  - A watchdog prints the best-so-far JSON line and exits at
+    TWOPACO_BENCH_DEADLINE_S (default 780s) from process start, so a
+    hung device claim or a slow remote compile can never leave the
+    driver with empty output.
+  - A partial result line is printed as soon as the first timed run
+    finishes; the final line supersedes it.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -23,42 +34,110 @@ N_SEQS, LENGTH = 8, 8_000_000
 FA = "/tmp/twopaco_bench.fa"
 OUT = "/tmp/tpu_bench.dbg"
 
+_T0 = time.monotonic()
+_DEADLINE_S = float(os.environ.get("TWOPACO_BENCH_DEADLINE_S", 780))
+
+# best-so-far result dict; the watchdog prints it if time runs out
+_best_lock = threading.Lock()
+_best_line: dict | None = None
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _set_best(obj: dict) -> None:
+    global _best_line
+    with _best_lock:
+        _best_line = obj
+
+
+def _watchdog() -> None:
+    remaining = _DEADLINE_S - (time.monotonic() - _T0)
+    if remaining > 0:
+        time.sleep(remaining)
+    with _best_lock:
+        line = _best_line or {
+            "metric": "junction enumeration throughput",
+            "value": 0,
+            "unit": "Mbases/s/chip",
+            "vs_baseline": None,
+            "error": f"bench deadline {_DEADLINE_S:.0f}s hit before any "
+            "timed run finished (device claim or remote compile stalled)",
+        }
+    _emit(line)
+    sys.stdout.flush()
+    os._exit(0)
+
 
 def _wait_tunnel(
-    max_wait_s: int = int(os.environ.get("TWOPACO_TUNNEL_WAIT_S", 1800)),
+    max_wait_s: float = float(os.environ.get("TWOPACO_TUNNEL_WAIT_S", 240)),
 ) -> None:
     """The remote-TPU relay (127.0.0.1:8082...) can be down; touching
     jax then hangs FOREVER in a claim-retry loop. Wait for it (it is
     restarted out-of-band) and fail loudly instead of hanging."""
     import socket
 
-    t0 = time.time()
-    while time.time() - t0 < max_wait_s:
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait_s:
         for port in (8082, 8092, 8102, 8112):
             try:
                 with socket.create_connection(("127.0.0.1", port), 1):
                     return
             except OSError:
                 pass
-        time.sleep(10)
-    print(
-        json.dumps(
-            {
-                "metric": "junction enumeration throughput",
-                "value": 0,
-                "unit": "Mbases/s/chip",
-                "vs_baseline": None,
-                "error": "TPU tunnel relay down (ports 8082+) for "
-                f"{max_wait_s}s — cannot reach the device",
-            }
-        )
+        time.sleep(5)
+    _emit(
+        {
+            "metric": "junction enumeration throughput",
+            "value": 0,
+            "unit": "Mbases/s/chip",
+            "vs_baseline": None,
+            "error": "TPU tunnel relay down (ports 8082+) for "
+            f"{max_wait_s:.0f}s — cannot reach the device",
+        }
     )
     sys.exit(1)
+
+
+def _result_line(
+    dt: float,
+    enum,
+    total_bases: int,
+    vs_base,
+    runs: list,
+    warm_s: float,
+    partial: bool,
+) -> dict:
+    import jax
+
+    line = {
+        "metric": "junction enumeration throughput (end-to-end, "
+        f"k={K} f={F}, {total_bases/1e6:.0f} Mbase pangenome)",
+        "value": round(total_bases / dt / 1e6, 3),
+        "unit": "Mbases/s/chip",
+        "vs_baseline": vs_base(total_bases / dt),
+        "detail": {
+            "seconds": round(dt, 2),
+            "all_runs_seconds": [round(r[0], 2) for r in runs],
+            "warmup_seconds": round(warm_s, 2),
+            "distinct_junctions": enum.vertices_count,
+            "occurrences": enum.stats.occurrences,
+            "device": str(jax.devices()[0]),
+            "timings": {
+                k: round(v, 2) for k, v in enum.stats.timings.items()
+            },
+        },
+    }
+    if partial:
+        line["detail"]["partial"] = True
+    return line
 
 
 def main() -> None:
     quick = "--quick" in sys.argv
     n_seqs, length = (2, 1_000_000) if quick else (N_SEQS, LENGTH)
+    threading.Thread(target=_watchdog, daemon=True).start()
     _wait_tunnel()
 
     from twopaco_tpu.testing.bench_data import write_bench_fasta
@@ -90,8 +169,19 @@ def main() -> None:
         "--verbose" in sys.argv
     ) else (lambda s: None)
 
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+    )
+    if os.path.exists(baseline_path) and not quick:
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = max(v["bases_per_sec"] for v in base["reference"].values())
+        vs_base = lambda bps: round(bps / ref, 3)  # noqa: E731
+    else:
+        vs_base = lambda bps: None  # noqa: E731
+
     # warm-up run: compiles (persisted) + page-in; then timed runs on
-    # unseen genomes — best of 3 (the remote-TPU tunnel has heavy
+    # unseen genomes — best-of-N (the remote-TPU tunnel has heavy
     # run-to-run variance; the best run reflects the device)
     t0 = time.time()
     build_junctions([fa], cfg, out_path=OUT, log=log)
@@ -102,50 +192,24 @@ def main() -> None:
         t0 = time.time()
         enum = build_junctions([f2], cfg, out_path=OUT, log=log)
         runs.append((time.time() - t0, enum))
-    dt, enum = min(runs, key=lambda r: r[0])
-
-    bases_per_sec = total_bases / dt
-
-    vs_baseline = None
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
-    )
-    if os.path.exists(baseline_path) and not quick:
-        with open(baseline_path) as f:
-            base = json.load(f)
-        ref = max(
-            v["bases_per_sec"] for v in base["reference"].values()
+        dt, best_enum = min(runs, key=lambda r: r[0])
+        line = _result_line(
+            dt, best_enum, total_bases, vs_base, runs, warm_s,
+            partial=len(runs) < min(3, len(timed_fas)) and not quick,
         )
-        vs_baseline = round(bases_per_sec / ref, 3)
+        _set_best(line)
+        if len(runs) == 1:
+            # early partial line: survives a watchdog/driver kill
+            _emit(line)
+        # stop early if the next run would cross the deadline (leave
+        # 1.5x the slowest observed run as margin)
+        margin = 1.5 * max(r[0] for r in runs)
+        if time.monotonic() - _T0 + margin > _DEADLINE_S:
+            break
 
-    import jax
-
-    print(
-        json.dumps(
-            {
-                "metric": "junction enumeration throughput (end-to-end, "
-                f"k={K} f={F}, {total_bases/1e6:.0f} Mbase pangenome)",
-                "value": round(bases_per_sec / 1e6, 3),
-                "unit": "Mbases/s/chip",
-                "vs_baseline": vs_baseline,
-                "detail": {
-                    "seconds": round(dt, 2),
-                    "all_runs_seconds": [round(r[0], 2) for r in runs],
-                    "warmup_seconds": round(warm_s, 2),
-                    "distinct_junctions": enum.vertices_count,
-                    "occurrences": enum.stats.occurrences,
-                    "device": str(jax.devices()[0]),
-                    "timings": {
-                        k: round(v, 2) for k, v in enum.stats.timings.items()
-                    },
-                    "round0": {
-                        k: (round(v, 2) if isinstance(v, float) else v)
-                        for k, v in enum.stats.rounds[0].items()
-                    },
-                },
-            }
-        ),
-        flush=True,
+    dt, enum = min(runs, key=lambda r: r[0])
+    _emit(
+        _result_line(dt, enum, total_bases, vs_base, runs, warm_s, False)
     )
 
 
