@@ -16,11 +16,27 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# XLA:CPU logs a full-page "AOT machine features" E-line per cache-loaded
+# executable (harmless — the cache is written on this same host); silence it
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+# Test wall time is dominated by thousands of small op-by-op CPU compiles
+# (the pipelines dispatch eagerly); persist ALL of them across runs — the
+# package default (twopaco_tpu/__init__.py) only persists >=0.5s compiles,
+# which covers the big TPU programs but none of these. Env (not
+# jax.config) because twopaco_tpu/__init__.py re-applies these settings
+# on its (later) import and reads the env.
+os.environ["TWOPACO_COMPILE_CACHE"] = os.path.expanduser(
+    "~/.cache/twopaco_tpu_xla_cpu"
+)
+os.environ["TWOPACO_CACHE_MIN_COMPILE_S"] = "0"
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import twopaco_tpu  # noqa: F401  (applies the cache settings above)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")

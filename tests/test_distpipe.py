@@ -123,6 +123,105 @@ def test_multihost_degenerate_single_process(tmp_path):
         assert f1.read() == f2.read()
 
 
+@pytest.mark.parametrize("rounds", [1, 3])
+def test_dist_engine_wide_positions(tmp_path, monkeypatch, rounds):
+    """Forced wide (u32-pair) positions through the distributed engine:
+    routing, append, judge and packed fetch must all carry two position
+    columns and stay byte-identical to the single-device engine (which
+    honors the same TWOPACO_POS64 switch)."""
+    monkeypatch.setenv("TWOPACO_POS64", "1")
+    mesh = make_mesh(8)
+    config = PipelineConfig(
+        k=9, rounds=rounds, positions_per_row=128, rows_per_batch=8
+    )
+    enum = _run_pair(str(tmp_path), config, _corpus(seed=21), mesh)
+    assert enum.vertices_count > 0
+
+
+def test_dist_engine_checkpoint_resume(tmp_path):
+    """Round-boundary checkpoint/resume on the distributed engine: a
+    resumed run (one round recomputed, others restored) must be
+    byte-identical to an uncheckpointed run."""
+    mesh = make_mesh(8)
+    config = PipelineConfig(
+        k=9, rounds=3, positions_per_row=128, rows_per_batch=8
+    )
+    seqs = _corpus(seed=13)
+    plain = os.path.join(str(tmp_path), "plain.dbg")
+    build_junctions_dist(
+        None, config, mesh=mesh, out_path=plain, sequences=seqs
+    )
+    ck = os.path.join(str(tmp_path), "ckpt")
+    first = os.path.join(str(tmp_path), "first.dbg")
+    build_junctions_dist(
+        None, config, mesh=mesh, out_path=first, sequences=seqs,
+        checkpoint_dir=ck,
+    )
+    # drop one round's file: resume restores the others, recomputes it
+    os.remove(os.path.join(ck, "round_1.npz"))
+    resumed = os.path.join(str(tmp_path), "resumed.dbg")
+    lines: list[str] = []
+    build_junctions_dist(
+        None, config, mesh=mesh, out_path=resumed, sequences=seqs,
+        checkpoint_dir=ck, log=lines.append,
+    )
+    assert sum("restored from checkpoint" in s for s in lines) == 2
+    with open(plain, "rb") as f:
+        want = f.read()
+    for p in (first, resumed):
+        with open(p, "rb") as f:
+            assert f.read() == want, p
+
+
+def test_dist_bloom_engine_byte_identical(tmp_path):
+    """engine='dist-bloom': sharded Bloom fill + candidate marking over
+    the mesh, then distributed verify/emit through the sort-join tail —
+    the multi-chip completion of the reference's own Bloom design
+    (SURVEY.md §2.4). Must be byte-identical to the plain engines."""
+    mesh = make_mesh(8)
+    seqs = _corpus(seed=31)
+    for rounds in (1, 2):
+        config = PipelineConfig(
+            k=9, rounds=rounds, filter_bits=18, hash_functions=2,
+            positions_per_row=128, rows_per_batch=8,
+        )
+        ours = os.path.join(str(tmp_path), f"bloomdist{rounds}.dbg")
+        ref = os.path.join(str(tmp_path), f"single{rounds}.dbg")
+        enum_b = build_junctions_dist(
+            None, config, mesh=mesh, out_path=ours, sequences=seqs,
+            bloom_gate=True,
+        )
+        enum_s = build_junctions(
+            None, config, out_path=ref, sequences=seqs
+        )
+        assert enum_b.vertices_count == enum_s.vertices_count
+        with open(ours, "rb") as f1, open(ref, "rb") as f2:
+            assert f1.read() == f2.read()
+
+
+@pytest.mark.slow
+def test_dist_engine_scale(tmp_path):
+    """Scale validation (VERDICT r2 item 4): a multi-Mbase pangenome —
+    millions of records through real batch shapes, multiple auto-rounds
+    and the chunked judge — byte-identical to the single-device engine."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(17)
+    base = oracle.generate_sequence(rng, 2_000_000)
+    seqs = [(0, dna.encode(base))] + [
+        (i, dna.encode(oracle.mutate_sequence(rng, base, 0.01, 0.1)))
+        for i in range(1, 4)
+    ]
+    config = PipelineConfig(
+        k=25,
+        positions_per_row=2048,
+        rows_per_batch=256,
+        sort_chunk=1 << 19,  # force several auto-rounds at this size
+    )
+    enum = _run_pair(str(tmp_path), config, seqs, mesh)
+    assert enum.vertices_count > 10_000
+    assert enum.stats.occurrences > 10_000
+
+
 def test_route_bounds_equalize_mass():
     hist = np.zeros(1 << 16, np.int64)
     # mass concentrated in 1/16 of word0 space (strong GC bias)

@@ -57,6 +57,29 @@ def test_differential_vs_oracle(tmp_path, k, rounds, engine):
         assert enum.get_id(v) != INVALID_VERTEX
 
 
+def test_bloom_mask_spill_byte_identical(tmp_path, monkeypatch):
+    """TWOPACO_MASK_SPILL_BYTES=0 forces every round's candidate masks
+    to disk (the reference's candidate_<round>.tmp analogue,
+    vertexenumerator.h:485-490); pass 4 must read them back mmap'd and
+    produce byte-identical output."""
+    rng = np.random.default_rng(77)
+    base = oracle.generate_sequence(rng, 900)
+    seqs = [base] + [
+        oracle.mutate_sequence(rng, base, 0.05, 0.1) for _ in range(2)
+    ]
+    ref = str(tmp_path / "resident.bin")
+    run_pipeline(seqs, 9, ref, rounds=3, engine="bloom")
+    monkeypatch.setenv("TWOPACO_MASK_SPILL_BYTES", "0")
+    spill = str(tmp_path / "spilled.bin")
+    run_pipeline(seqs, 9, spill, rounds=3, engine="bloom")
+    with open(ref, "rb") as f1, open(spill, "rb") as f2:
+        assert f1.read() == f2.read()
+    # spill files are cleaned up
+    import glob
+
+    assert not glob.glob("/tmp/twopaco_masks_*")
+
+
 def test_example_positions_match_reference_golden(tmp_path):
     """Junction positions on example.fa k=11 equal the committed
     reference output (ids/signs legitimately differ: SURVEY.md §5)."""

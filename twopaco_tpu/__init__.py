@@ -77,7 +77,13 @@ _cache = _os.environ.get(
 if _cache and _cache != "0":
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # 0.5s covers the big TPU programs without churning tiny entries; the
+    # test suite sets this to 0 (with its own dir) because its wall time is
+    # thousands of small op-by-op CPU compiles (tests/conftest.py).
+    _jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(_os.environ.get("TWOPACO_CACHE_MIN_COMPILE_S", 0.5)),
+    )
 
 __version__ = "0.1.0"
 

@@ -65,9 +65,12 @@ def make_parser() -> argparse.ArgumentParser:
         help="Round-boundary checkpoint directory (resume on rerun)",
     )
     p.add_argument(
-        "--tpu-engine", choices=["sort", "bloom", "dist"], default="sort",
-        help="Device engine: sort-join (default), Bloom two-pass, or "
-        "mesh-distributed sort-join over all visible devices",
+        "--tpu-engine",
+        choices=["sort", "bloom", "dist", "dist-bloom"],
+        default="sort",
+        help="Device engine: sort-join (default), Bloom two-pass, "
+        "mesh-distributed sort-join, or mesh-distributed Bloom "
+        "(sharded filter gate + distributed sort-join verify/emit)",
     )
     p.add_argument(
         "--tpu-layout", choices=["auto", "byte", "bit"], default="auto",
@@ -136,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
             log=print,
             profile_dir=args.tpu_profile,
             checkpoint_dir=args.tpu_checkpoint,
+            tmpdir=args.tmpdir if args.tmpdir != "." else None,
         )
     except (OSError, RuntimeError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)

@@ -53,7 +53,8 @@ def _route_records(
     words, payload, pos, scfg: SortShardConfig, cap: int, bounds=None
 ):
     """Bucket records by k-mer-prefix owner; returns (send (D, cap, C),
-    overflow) where C = w + 2 stacked uint32 columns.
+    overflow) where C = w + 1 + len(pos) stacked uint32 columns (pos is
+    a tuple of 1 — narrow — or 2 — wide u32-pair — position columns).
 
     bounds: optional (D-1,) ascending uint32 quantile boundaries on
     word0 (from a word-prefix histogram of the actual input) — device d
@@ -87,13 +88,13 @@ def _route_records(
     overflow = jnp.sum((slot >= cap) & (o_s < D), dtype=jnp.int32)
 
     cols = jnp.concatenate(
-        [words, payload[:, None], pos[:, None]], axis=1
-    )  # (m, C); pos here is the single u32 column (narrow inputs only)
+        [words, payload[:, None]] + [p[:, None] for p in pos], axis=1
+    )
+    C = cols.shape[1]
     cols_s = cols[order]
-    send = jnp.full((D, cap, w + 2), sortpipe.SENTINEL_WORD, U32)
+    send = jnp.full((D, cap, C), sortpipe.SENTINEL_WORD, U32)
     # sentinel payload must read as not-real: clear everything but words
-    send = send.at[:, :, w].set(U32(0))
-    send = send.at[:, :, w + 1].set(U32(0))
+    send = send.at[:, :, w:].set(U32(0))
     send = send.at[
         jnp.where(ok, o_s, D), jnp.where(ok, slot, 0)
     ].set(cols_s, mode="drop")
@@ -105,13 +106,15 @@ def _local_sort_judge(recv, scfg: SortShardConfig, abundance, check_abundance):
     lives entirely on one device (k-mer-range ownership), so the
     abundance threshold is exact when applied locally."""
     w = scfg.base.w
+    n_pos = recv.shape[1] - w - 1
     words = recv[:, :w]
     payload = recv[:, w]
-    pos = recv[:, w + 1]
+    pos = tuple(recv[:, w + 1 + c] for c in range(n_pos))
     sw, pay, spos = sortpipe.sort_records(
-        words + U32(0), payload, (pos,), w=w
+        words + U32(0), payload + U32(0),
+        tuple(p + U32(0) for p in pos), w=w,
     )
-    spos = spos[0]
+    spos = spos[0] if n_pos == 1 else spos
     keep_first, keep, ids, n_groups, n_junc, n_occ = sortpipe.judge_records(
         sw, pay, abundance, check_abundance=check_abundance
     )
@@ -128,10 +131,10 @@ def _step_fn(
     words, payload, pos = sortpipe.build_sort_records(
         codes, valid, (row0 * U32(cfg.P),), low, high, cfg=cfg
     )
-    send, overflow = _route_records(words, payload, pos[0], scfg, cap)
+    send, overflow = _route_records(words, payload, pos, scfg, cap)
     recv = jax.lax.all_to_all(
         send, "shard", split_axis=0, concat_axis=0, tiled=False
-    ).reshape(-1, cfg.w + 2)
+    ).reshape(-1, cfg.w + 1 + len(pos))
     sw, spos, keep_first, keep, ids, n_junc, n_occ = _local_sort_judge(
         recv, scfg, abundance, check_abundance
     )

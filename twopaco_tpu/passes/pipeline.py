@@ -260,6 +260,55 @@ class RoundCheckpoint:
         os.replace(tmp, self._path(r))
 
 
+class _MaskStore:
+    """Per-round candidate-mask retention for the bloom engine's pass 4,
+    with a disk spill above a byte budget — the analogue of the
+    reference's per-round candidate_<round>.tmp mask files
+    (vertexenumerator.h:485-490,676-685): rounds x n_slots/8 bits of
+    packed masks would otherwise stay resident (≈2.5 GB at 5 Gbase x
+    r=4). Spilled rounds are written once and mmap-read during pass 4."""
+
+    def __init__(self, tmpdir: str | None, est_bytes: int):
+        import tempfile
+
+        budget = int(
+            os.environ.get("TWOPACO_MASK_SPILL_BYTES", str(1 << 30))
+        )
+        self.spill = est_bytes > budget
+        self.dir = None
+        self._rounds: list = []  # per round: list[np.ndarray] | path
+        if self.spill:
+            self.dir = tempfile.mkdtemp(
+                prefix="twopaco_masks_", dir=tmpdir
+            )
+
+    def add_round(self, masks: list[np.ndarray]) -> None:
+        if not self.spill or not masks:
+            self._rounds.append(masks)
+            return
+        path = os.path.join(self.dir, f"candidate_{len(self._rounds)}.npy")
+        np.save(path, np.stack(masks))
+        self._rounds.append(path)
+
+    def n_rounds(self) -> int:
+        return len(self._rounds)
+
+    def round(self, r: int):
+        """-> indexable per-batch masks of round r (list or mmap array)."""
+        entry = self._rounds[r]
+        if isinstance(entry, str):
+            return np.load(entry, mmap_mode="r")
+        return entry
+
+    def cleanup(self) -> None:
+        if self.dir is not None:
+            import shutil
+
+            shutil.rmtree(self.dir, ignore_errors=True)
+            self.dir = None
+            self._rounds = []
+
+
 def _present(sorted_arr: np.ndarray, targets: np.ndarray) -> np.ndarray:
     """Element-of test for each target against a sorted array."""
     if len(sorted_arr) == 0:
@@ -525,6 +574,7 @@ def build_junctions(
     log: Callable[[str], None] = lambda s: None,
     profile_dir: str | None = None,
     checkpoint_dir: str | None = None,
+    tmpdir: str | None = None,
 ) -> Enumerator:
     """Run the full pipeline; returns the Enumerator (junction dict).
 
@@ -542,7 +592,7 @@ def build_junctions(
         with jax.profiler.trace(profile_dir):
             return build_junctions(
                 input_paths, config, out_path, sequences, log, None,
-                checkpoint_dir,
+                checkpoint_dir, tmpdir,
             )
     if config.engine == "sort":
         from twopaco_tpu.passes import sortpipe
@@ -550,11 +600,13 @@ def build_junctions(
         return sortpipe.build_junctions_sorted(
             input_paths, config, out_path, sequences, log, checkpoint_dir
         )
-    if config.engine == "dist":
+    if config.engine in ("dist", "dist-bloom"):
         from twopaco_tpu.parallel.distpipe import build_junctions_dist
 
         return build_junctions_dist(
-            input_paths, config, None, out_path, sequences, log
+            input_paths, config, None, out_path, sequences, log,
+            checkpoint_dir=checkpoint_dir,
+            bloom_gate=config.engine == "dist-bloom",
         )
     cfg = config.pass_config()
     wcfg = config.window_config()
@@ -623,14 +675,19 @@ def build_junctions(
         ),
     )
     all_junction_words: list[np.ndarray] = []
-    round_masks: list[list[np.ndarray]] = []  # [round][batch] packed bits
+    # per-round packed candidate masks, disk-spilled above a byte budget
+    # (reference candidate_<round>.tmp, vertexenumerator.h:485-490)
+    mask_store = _MaskStore(
+        tmpdir,
+        est_bytes=len(intervals) * len(batches) * cfg.B * cfg.P // 8,
+    )
     round_counts: list[list[int]] = []  # [round][batch] candidate counts
     for r, (low, high) in enumerate(intervals):
         restored = ckpt.load_round(r)
         if restored is not None:
             arrays, rstats = restored
             all_junction_words.append(arrays["junc_words"])
-            round_masks.append(list(arrays["masks"]))
+            mask_store.add_round(list(arrays["masks"]))
             round_counts.append([int(c) for c in arrays["counts"]])
             stats.rounds.append(rstats)
             log(f"Round {r}: restored from checkpoint")
@@ -683,7 +740,6 @@ def build_junctions(
             rec_out.append(np.asarray(out_c)[:count])
             masks_here.append(np.asarray(packed))
             counts_here.append(count)
-        round_masks.append(masks_here)
         round_counts.append(counts_here)
         del filt, pending, pending2
         t_mark = time.time() - t0
@@ -743,6 +799,8 @@ def build_junctions(
             ),
             counts=np.asarray(counts_here, np.int64),
         )
+        mask_store.add_round(masks_here)
+        del masks_here
 
     # ---- junction dictionary ------------------------------------------
     t0 = time.time()
@@ -767,27 +825,31 @@ def build_junctions(
     if out_path is not None:
         t0 = time.time()
         table_d = jnp.asarray(table)
-        masks_or = []
         bound_max = 1
-        for bi in range(len(dev_batches)):
-            packed = round_masks[0][bi].copy()
-            bound = round_counts[0][bi]
-            for rm, rc_ in zip(round_masks[1:], round_counts[1:]):
-                packed |= rm[bi]
-                bound += rc_[bi]
-            masks_or.append(packed)
-            bound_max = max(bound_max, bound)
+        for col in zip(*round_counts):  # per-batch counts across rounds
+            bound_max = max(bound_max, sum(col))
         # ONE cap for every batch: per-batch buckets minted a fresh
         # (minutes-long) remote pass4 compile whenever a batch crossed
         # a pow2 boundary between runs
         cap = _bucket_cap(bound_max, cfg.B * cfg.P)
+        # per-round mask views (possibly mmap-backed spill files); the
+        # OR is streamed per batch so only one batch's merged mask is
+        # host-resident at a time
+        rounds_masks = [
+            mask_store.round(r) for r in range(mask_store.n_rounds())
+        ]
         pending = []
-        for (codes_d, valid_d), packed in zip(dev_batches, masks_or):
+        for bi, (codes_d, valid_d) in enumerate(dev_batches):
+            packed = np.array(rounds_masks[0][bi])
+            for rm in rounds_masks[1:]:
+                packed |= rm[bi]
             pos_f, ids_f, cnt = kernels.pass4_lookup(
                 codes_d, jnp.asarray(packed), valid_d, table_d,
                 cfg=cfg, cap=cap,
             )
             pending.append((pos_f, ids_f, cnt))
+        del rounds_masks
+        mask_store.cleanup()
         stats.timings["pass4_dispatch"] = time.time() - t0
         log(f"Pass 4 cap: {cap}")
         t0 = time.time()
@@ -821,6 +883,7 @@ def build_junctions(
             f"Edges construction time: {stats.timings['emit']:.1f}"
         )
 
+    mask_store.cleanup()  # no-op if pass 4 already cleaned up
     stats.timings["total"] = time.time() - t_start
     log(f"Distinct junctions = {enum.vertices_count}")
     return enum

@@ -1503,13 +1503,28 @@ def build_junctions_sorted(
     if fetcher is not None:
         fetcher.shutdown()
     stats.timings["collect"] = time.time() - t0
+    return merge_fetched(
+        fetched, batches, cfg, config, out_path, stats, log, t_start,
+        n_slots=n_slots, wide=wide, n_sequences=len(sequences),
+    )
+
+
+def merge_fetched(
+    fetched, batches, cfg, config, out_path, stats, log, t_start,
+    *, n_slots: int, wide: bool, n_sequences: int,
+):
+    """Shared engine tail: pick the packed-u64 merge when ids fit, else
+    the generic int64 merge. fetched = [(table, kind, payload), ...]
+    entries whose k-mer sets are disjoint (hash intervals x optional
+    k-mer ranges partition the space); payload local ids are 1-based
+    ranks into that entry's table rows."""
     total_j = sum(len(t) for t, _, _ in fetched)
     # u64 merge keys: pos in the high bits, biased signed id below.
     # Narrow runs use a fixed 32/32 split (u32-view fast paths);
     # wide runs split at the position width when ids still fit.
     pos_bits = 32 if not wide else max(n_slots.bit_length(), 33)
     id_bits = 64 - pos_bits
-    if total_j + 2 * len(sequences) + 64 < (1 << (id_bits - 1)):
+    if total_j + 2 * n_sequences + 64 < (1 << (id_bits - 1)):
         return merge_rounds_packed(
             fetched, batches, cfg, config, out_path, stats, log,
             t_start, pos_bits=pos_bits,
