@@ -75,11 +75,55 @@ def validate(out: str, n_seqs: int, length: int, n_junc: int) -> dict:
     )
 
 
+def attach_reference(res: dict, out: str, total: int) -> None:
+    """Attach the reference binary's wall/parity to res, when its run
+    on the same input exists (/tmp/twopaco_big_ref.dbg + log line
+    'exit=0 wall=<s>s' from the companion run)."""
+    ref_dbg, ref_log = "/tmp/twopaco_big_ref.dbg", "/tmp/big_ref.log"
+    if not (
+        total == 5_000_000_000  # the measured reference ran on 10x500M
+        and os.path.exists(ref_dbg)
+        and os.path.exists(ref_log)
+    ):
+        return
+    import re
+
+    m = re.search(r"exit=0 wall=(\d+)s", open(ref_log).read())
+    if not m:
+        return
+    ref_s = int(m.group(1))
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import check_parity as cp
+    from twopaco_tpu.io import junctions
+
+    res["reference"] = dict(
+        seconds=ref_s,
+        mbases_per_sec=round(total / ref_s / 1e6, 3),
+        config="-k 25 -f 36 -r 1 -t 4",
+    )
+    res["parity_vs_reference"] = bool(
+        cp.partitions_equal(
+            junctions.read_junctions(out),
+            junctions.read_junctions(ref_dbg),
+        )
+    )
+
+
 def main():
-    gb = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
+    args = [a for a in sys.argv[1:] if a != "--attach-ref"]
+    gb = float(args[0]) if args else 5.0
     n_seqs, length = 10, int(gb * 1e9 / 10)
     fa = "/tmp/twopaco_big.fa"
     out = "/tmp/twopaco_big.dbg"
+    res_path = os.path.join(REPO, "RUN_BIG.json")
+    if "--attach-ref" in sys.argv:
+        # post-hoc: the reference run finished after ours; merge its
+        # wall + parity into the recorded result without redoing the run
+        res = json.load(open(res_path))
+        attach_reference(res, out, res["total_bases"])
+        print(json.dumps(res), flush=True)
+        json.dump(res, open(res_path, "w"), indent=2)
+        return
     print(f"generating {n_seqs} x {length/1e6:.0f} Mb ...", flush=True)
     write_big_fasta(fa, n_seqs, length)
 
@@ -121,39 +165,9 @@ def main():
         validate=validate(out, n_seqs, length, enum.vertices_count),
         timings={k: round(v, 2) for k, v in enum.stats.timings.items()},
     )
-    # reference C++ comparison, when its run on the same input exists
-    # (scripts/measure: /tmp/refbuild/... -k 25 -f 36 -r 1 -t 4; its
-    # wall time is parsed from the companion log's final line)
-    ref_dbg, ref_log = "/tmp/twopaco_big_ref.dbg", "/tmp/big_ref.log"
-    if (
-        total == 5_000_000_000  # the measured reference ran on 10x500M
-        and os.path.exists(ref_dbg)
-        and os.path.exists(ref_log)
-    ):
-        import re
-
-        m = re.search(
-            r"exit=0 wall=(\d+)s", open(ref_log).read()
-        )
-        if m:
-            ref_s = int(m.group(1))
-            sys.path.insert(0, os.path.join(REPO, "scripts"))
-            import check_parity as cp
-            from twopaco_tpu.io import junctions
-
-            res["reference"] = dict(
-                seconds=ref_s,
-                mbases_per_sec=round(total / ref_s / 1e6, 3),
-                config="-k 25 -f 36 -r 1 -t 4",
-            )
-            res["parity_vs_reference"] = bool(
-                cp.partitions_equal(
-                    junctions.read_junctions(out),
-                    junctions.read_junctions(ref_dbg),
-                )
-            )
+    attach_reference(res, out, total)
     print(json.dumps(res), flush=True)
-    json.dump(res, open(os.path.join(REPO, "RUN_BIG.json"), "w"), indent=2)
+    json.dump(res, open(res_path, "w"), indent=2)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 
 
@@ -77,11 +78,12 @@ def make_parser() -> argparse.ArgumentParser:
         help="Bloom filter memory layout",
     )
     p.add_argument(
-        "--tpu-positions", type=int, default=2048,
-        help="Window positions per row",
+        "--tpu-positions", type=int, default=None,
+        help="Window positions per row (default: auto by input size)",
     )
     p.add_argument(
-        "--tpu-rows", type=int, default=256, help="Rows per batch"
+        "--tpu-rows", type=int, default=None,
+        help="Rows per batch (default: auto by input size)",
     )
     p.add_argument("filenames", nargs="*", help="FASTA file(s)")
     return p
@@ -120,6 +122,22 @@ def main(argv: list[str] | None = None) -> int:
 
     from twopaco_tpu.passes import PipelineConfig, build_junctions
 
+    # batch-shape auto-tier: the remote TPU's per-dispatch latency
+    # (~6-15 ms) makes small batches the bottleneck at scale — big
+    # inputs get 2M-position batches (the bench.py shape), small ones
+    # keep the small program whose compile-cache read is cheaper.
+    # Fixed tiers (not proportional sizing) keep jit shapes stable
+    # across runs so the persistent compile cache always hits.
+    positions, rows = args.tpu_positions, args.tpu_rows
+    if positions is None or rows is None:
+        try:
+            total_sz = sum(os.path.getsize(f) for f in args.filenames)
+        except OSError:
+            total_sz = 0
+        tier = (16384, 128) if total_sz >= (64 << 20) else (2048, 256)
+        positions = positions if positions is not None else tier[0]
+        rows = rows if rows is not None else tier[1]
+
     cfg = PipelineConfig(
         k=args.kvalue,
         filter_bits=filter_bits,
@@ -127,8 +145,8 @@ def main(argv: list[str] | None = None) -> int:
         rounds=args.rounds,
         abundance=args.abundance,
         layout=args.tpu_layout,
-        positions_per_row=args.tpu_positions,
-        rows_per_batch=args.tpu_rows,
+        positions_per_row=positions,
+        rows_per_batch=rows,
         engine=args.tpu_engine,
     )
     try:
