@@ -134,10 +134,33 @@ def _result_line(
     return line
 
 
+def _release_daemon() -> None:
+    """The serve daemon (cli/serve.py) holds the single-tenant TPU
+    claim; ask it to exit so this process's claim doesn't stall."""
+    import socket
+    import struct
+
+    path = os.environ.get("TWOPACO_SERVER_SOCKET", "/tmp/twopaco_tpu.sock")
+    if not os.path.exists(path):
+        return
+    try:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.settimeout(10)
+        s.connect(path)
+        req = b'{"tool": "__shutdown__", "argv": []}'
+        s.sendall(struct.pack("<I", len(req)) + req)
+        s.recv(16)
+        s.close()
+        time.sleep(2)  # let the PJRT client tear down its claim
+    except OSError:
+        pass
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     n_seqs, length = (2, 1_000_000) if quick else (N_SEQS, LENGTH)
     threading.Thread(target=_watchdog, daemon=True).start()
+    _release_daemon()
     _wait_tunnel()
 
     from twopaco_tpu.testing.bench_data import write_bench_fasta

@@ -123,8 +123,11 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="twopaco-serve")
     p.add_argument("--socket", default=DEFAULT_SOCKET)
     p.add_argument(
-        "--idle-timeout", type=float, default=None,
-        help="Exit after this many seconds with no requests",
+        "--idle-timeout", type=float,
+        default=float(os.environ.get("TWOPACO_SERVER_IDLE_S", 1800)),
+        help="Exit after this many seconds with no requests (0 = never);"
+        " the daemon holds the (single-tenant) TPU claim, so an"
+        " abandoned server must release it on its own",
     )
     args = p.parse_args(argv)
 
