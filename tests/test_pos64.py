@@ -100,7 +100,7 @@ def test_wide_path_byte_identical(tmp_path, monkeypatch, rounds):
     ]
     sequences = [(i, s) for i, s in enumerate(map(dna.encode, seqs))]
     outs = {}
-    for mode in ("narrow", "wide"):
+    for mode in ("narrow", "wide", "wide-config"):
         monkeypatch.setenv(
             "TWOPACO_POS64", "1" if mode == "wide" else "0"
         )
@@ -110,6 +110,8 @@ def test_wide_path_byte_identical(tmp_path, monkeypatch, rounds):
             rounds=rounds,
             positions_per_row=256,
             rows_per_batch=4,
+            # the --tpu-wide CLI path: config flag instead of env
+            force_wide=(mode == "wide-config"),
         )
         out = str(tmp_path / f"{mode}.bin")
         enum = build_junctions(
@@ -118,3 +120,4 @@ def test_wide_path_byte_identical(tmp_path, monkeypatch, rounds):
         outs[mode] = (open(out, "rb").read(), enum.vertices_count)
     assert outs["narrow"][1] == outs["wide"][1]
     assert outs["narrow"][0] == outs["wide"][0]
+    assert outs["wide-config"][0] == outs["wide"][0]

@@ -85,6 +85,15 @@ def make_parser() -> argparse.ArgumentParser:
         "--tpu-rows", type=int, default=None,
         help="Rows per batch (default: auto by input size)",
     )
+    p.add_argument(
+        "--tpu-sort-chunk", type=int, default=None,
+        help="Max records per round sort (sort engine; default 2^22)",
+    )
+    p.add_argument(
+        "--tpu-wide", action="store_true",
+        help="Force u32-pair (wide) positions even below 4.2 Gbases "
+        "(pre-compiles the big-input programs on small inputs)",
+    )
     p.add_argument("filenames", nargs="*", help="FASTA file(s)")
     return p
 
@@ -138,6 +147,9 @@ def main(argv: list[str] | None = None) -> int:
         positions = positions if positions is not None else tier[0]
         rows = rows if rows is not None else tier[1]
 
+    extra = {}
+    if args.tpu_sort_chunk is not None:
+        extra["sort_chunk"] = args.tpu_sort_chunk
     cfg = PipelineConfig(
         k=args.kvalue,
         filter_bits=filter_bits,
@@ -148,6 +160,8 @@ def main(argv: list[str] | None = None) -> int:
         positions_per_row=positions,
         rows_per_batch=rows,
         engine=args.tpu_engine,
+        force_wide=args.tpu_wide,
+        **extra,
     )
     try:
         enum = build_junctions(

@@ -55,6 +55,9 @@ class PipelineConfig:
     engine: str = "sort"  # 'sort' (sort-join, default) | 'bloom'
     sort_chunk: int = 1 << 22  # max records per round sort (sort engine)
     round_slack: float = 1.25  # round buffer slack over even split
+    force_wide: bool = False  # u32-pair positions even below 4.2 Gbase
+    # (the >=2^32-slot layout, vertexenumerator.h:935-958 analogue);
+    # used to pre-compile big-run programs on small inputs
 
     def __post_init__(self) -> None:
         # k must be odd everywhere, not just in the CLI: even k breaks

@@ -1156,7 +1156,11 @@ def build_junctions_sorted(
     # beyond 2^32 flat positions (~4.2 Gbases) records carry a second
     # u32 position column (the reference's size_t positions never cap,
     # vertexenumerator.h:935-958); TWOPACO_POS64=1 forces it for tests
-    wide = n_slots >= 1 << 32 or os.environ.get("TWOPACO_POS64") == "1"
+    wide = (
+        n_slots >= 1 << 32
+        or getattr(config, "force_wide", False)
+        or os.environ.get("TWOPACO_POS64") == "1"
+    )
     log(
         f"Engine = sort-join\nVertex length = {config.k}\n"
         f"Record slots = {n_slots}\nCapacity = {cfg.w} words"
