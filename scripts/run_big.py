@@ -91,13 +91,20 @@ def attach_reference(res: dict, out: str, total: int) -> None:
     m = re.search(r"exit=0 wall=(\d+)s", open(ref_log).read())
     if not m:
         return
-    ref_s = int(m.group(1))
+    # round-2 SOLO measurement of the same binary/config/input scale
+    # was 3615 s (BENCHMARKS.md); this-host runs can be slower when the
+    # builder session contends for cores — compare against the FASTER
+    # (conservative, reference-favoring) of the two
+    this_run_s = int(m.group(1))
+    ref_s = min(this_run_s, 3615)
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import check_parity as cp
     from twopaco_tpu.io import junctions
 
     res["reference"] = dict(
         seconds=ref_s,
+        this_host_seconds=this_run_s,
+        solo_measured_seconds=3615,
         mbases_per_sec=round(total / ref_s / 1e6, 3),
         config="-k 25 -f 36 -r 1 -t 4",
     )
