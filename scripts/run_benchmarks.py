@@ -60,19 +60,19 @@ def write_fasta(path: str, cfg: dict, seed: int = 77) -> int:
 
 
 def run_reference(fa, cfg, threads, out):
-    t0 = time.time()
+    t0 = time.monotonic()
     subprocess.run(
         [REF, "-k", str(cfg["k"]), "-f", str(cfg["f"]),
          "-r", str(cfg["rounds"]), "-t", str(threads),
          "--tmpdir", "/tmp", "-o", out, fa],
         check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
-    return time.time() - t0
+    return time.monotonic() - t0
 
 
 def run_ours(fa, cfg, out):
     env = dict(os.environ)
-    t0 = time.time()
+    t0 = time.monotonic()
     with open(out + ".log", "ab") as logf:
         subprocess.run(
             [sys.executable, "-m", "twopaco_tpu.cli.twopaco",
@@ -81,7 +81,7 @@ def run_ours(fa, cfg, out):
             check=True, cwd=REPO, env=env,
             stdout=logf, stderr=subprocess.STDOUT,
         )
-    return time.time() - t0
+    return time.monotonic() - t0
 
 
 TPCLIENT = os.path.join(REPO, "native", "build", "tpclient")
@@ -92,7 +92,7 @@ def run_served(fa, cfg, out):
     interpreter/PJRT boot, no device claim, in-memory jit cache. The
     timed input must be FRESH to the daemon's session — the axon
     runtime memoizes repeat dispatches on identical inputs."""
-    t0 = time.time()
+    t0 = time.monotonic()
     with open(out + ".log", "ab") as logf:
         subprocess.run(
             [TPCLIENT, "twopaco",
@@ -101,7 +101,7 @@ def run_served(fa, cfg, out):
             check=True, cwd=REPO,
             stdout=logf, stderr=subprocess.STDOUT,
         )
-    return time.time() - t0
+    return time.monotonic() - t0
 
 
 def check_parity(ours, theirs) -> bool:
@@ -165,8 +165,8 @@ def main():
         )
         import glob as _glob
 
-        for path in (warm_fa, timed_fa):
-            for junk in [path] + _glob.glob(path + ".ok*"):
+        for tmp_fa in (warm_fa, timed_fa):
+            for junk in [tmp_fa] + _glob.glob(tmp_fa + ".ok*"):
                 try:
                     os.remove(junk)
                 except OSError:

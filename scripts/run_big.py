@@ -136,7 +136,7 @@ def main():
 
     from twopaco_tpu.passes import PipelineConfig, build_junctions
 
-    t0 = time.time()
+    t0 = time.monotonic()
     # bigger sort buffers halve the round count (each round re-hashes
     # the whole input, reference-style); fall back if the remote XLA
     # service can't compile the larger sort program
@@ -159,7 +159,7 @@ def main():
             print(f"sort_chunk 2^{chunk_pow} failed: {e}", flush=True)
             if chunk_pow == 22:
                 raise
-    dt = time.time() - t0
+    dt = time.monotonic() - t0
     total = n_seqs * length
     res = dict(
         total_bases=total,
