@@ -110,7 +110,14 @@ def stop_daemon():
 
 def start_daemon():
     """Boot the resident server; returns its Popen. Requests queue
-    until warm() finishes, so no readiness wait is needed."""
+    until warm() finishes, so no readiness wait beyond the bind is
+    needed. A stale socket file from a killed daemon would satisfy an
+    existence check while the new process is still in its 12-30s boot,
+    so remove it first — serve.py recreates it at bind time."""
+    try:
+        os.unlink(SOCK)
+    except FileNotFoundError:
+        pass
     logf = open("/tmp/twopaco_serve.log", "ab")
     proc = subprocess.Popen(
         [sys.executable, "-m", "twopaco_tpu.cli.serve"],
@@ -151,12 +158,92 @@ def check_parity(ours, theirs) -> bool:
     )
 
 
+def sync_big5g(results: dict) -> None:
+    """The 5 Gbase config is measured by scripts/run_big.py; pull its
+    result into the baseline-only entry's note when available."""
+    big = results.get("big5g_reference")
+    run_big = os.path.join(REPO, "RUN_BIG.json")
+    if big and not isinstance(big.get("ours"), dict) \
+            and os.path.exists(run_big):
+        rb = json.load(open(run_big))
+        if "mbases_per_sec" in rb:
+            big["ours"] = (
+                f"{rb['mbases_per_sec']:.2f} Mb/s warm "
+                f"(RUN_BIG.json, parity "
+                f"{'PASS' if rb.get('parity_vs_reference') else 'FAIL'})"
+            )
+
+
+def write_md(results: dict) -> None:
+    with open(os.path.join(REPO, "BENCHMARKS.md"), "w") as f:
+        f.write(
+            "# Benchmarks — reference binary vs twopaco-tpu\n\n"
+            "Real BASELINE.md datasets are not obtainable offline; each\n"
+            "config uses a synthetic stand-in of the same scale "
+            "(see scripts/run_benchmarks.py).\nReference = C++ TwoPaCo on "
+            f"{os.cpu_count()}-core host; ours = one TPU v5e chip.\n\n"
+            "`ours served` = the production serving mode (resident\n"
+            "daemon, cli/serve.py + native tpclient): the timed run is a\n"
+            "fresh genome the daemon has never dispatched. `ours cold` =\n"
+            "a from-scratch CLI process; on this host that includes a\n"
+            "12-30 s interpreter+PJRT-plugin boot that exists for every\n"
+            "python process (measured: `python -c pass` = 18 s) and is\n"
+            "not part of the framework.\n\n"
+            "| config | bases | reference best | ours served | speedup | "
+            "ours cold | cold speedup | parity |\n"
+            "|---|---|---|---|---|---|---|---|\n"
+        )
+        notes = []
+        for name, e in results.items():
+            ref_best = max(
+                v["mbases_per_sec"] for v in e["reference"].values()
+            )
+            # Baseline-only entries (e.g. the 5 Gbase reference runs,
+            # whose "ours" side lives in RUN_BIG.json) carry a string
+            # instead of a measurement dict — keep them out of the
+            # table so the writer never crashes mid-file.
+            if not isinstance(e.get("ours"), dict):
+                notes.append(
+                    f"- **{name}** ({e['total_bases']/1e9:.0f} Gbase): "
+                    "reference "
+                    + ", ".join(
+                        f"{k} {v['mbases_per_sec']:.2f} Mb/s"
+                        for k, v in e["reference"].items()
+                    )
+                    + f"; ours: {e.get('ours', 'see RUN_BIG.json')}"
+                )
+                continue
+            ours = e["ours"]["mbases_per_sec"]
+            cold = e.get("ours_cold", {}).get("mbases_per_sec")
+            cold_s = (
+                f"{cold:.2f} Mb/s | {cold/ref_best:.2f}x"
+                if cold else "— | —"
+            )
+            mode = e["ours"].get("mode", "")
+            legacy = "" if mode.startswith("served") else " (cold CLI)"
+            f.write(
+                f"| {name}{legacy} | {e['total_bases']/1e6:.0f} Mb | "
+                f"{ref_best:.2f} Mb/s | {ours:.2f} Mb/s | "
+                f"{ours/ref_best:.2f}x | {cold_s} | "
+                f"{'PASS' if e['parity'] else 'FAIL'} |\n"
+            )
+        if notes:
+            f.write("\n## Large-input baselines\n\n")
+            f.write("\n".join(notes) + "\n")
+    print("wrote BENCHMARKS.json / BENCHMARKS.md")
+
+
 def main():
     which = sys.argv[1:] or list(CONFIGS)
     path = os.path.join(REPO, "BENCHMARKS.json")
     results = {}
     if os.path.exists(path):
         results = json.load(open(path))
+    if which == ["--md-only"]:
+        sync_big5g(results)
+        json.dump(results, open(path, "w"), indent=2)
+        write_md(results)
+        return
     for name in which:
         cfg = CONFIGS[name]
         fa = f"/tmp/bench_{name}.fa"
@@ -195,14 +282,31 @@ def main():
         timed_fa = f"/tmp/bench_{name}_timed.fa"
         write_fasta(warm_fa, cfg, seed=int(time.time()) | 1)
         write_fasta(timed_fa, cfg, seed=(int(time.time()) | 1) + 2)
+        # The daemon holds the single-tenant TPU claim; any exception
+        # here must still tear it down or the next process stalls on
+        # the stale claim for up to the 1800s idle timeout.
         daemon = start_daemon()
-        run_served(warm_fa, cfg, f"/tmp/bench_{name}_srv.dbg")
-        dt = run_served(timed_fa, cfg, f"/tmp/bench_{name}_srv.dbg")
-        entry["ours"] = dict(
-            seconds=round(dt, 2),
-            mbases_per_sec=round(total / dt / 1e6, 3),
-            mode="served (warm daemon, cli/serve.py)",
-        )
+        try:
+            run_served(warm_fa, cfg, f"/tmp/bench_{name}_srv.dbg")
+            dt = run_served(timed_fa, cfg, f"/tmp/bench_{name}_srv.dbg")
+            entry["ours"] = dict(
+                seconds=round(dt, 2),
+                mbases_per_sec=round(total / dt / 1e6, 3),
+                mode="served (warm daemon, cli/serve.py)",
+            )
+            print(f"{name} ours served: {dt:.1f}s "
+                  f"{total/dt/1e6:.2f} Mb/s", flush=True)
+        finally:
+            stop_daemon()
+            try:
+                daemon.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                daemon.terminate()
+                try:
+                    daemon.wait(timeout=15)
+                except subprocess.TimeoutExpired:
+                    daemon.kill()
+                    daemon.wait()
         import glob as _glob
 
         for tmp_fa in (warm_fa, timed_fa):
@@ -211,11 +315,6 @@ def main():
                     os.remove(junk)
                 except OSError:
                     pass
-        print(f"{name} ours served: {dt:.1f}s {total/dt/1e6:.2f} Mb/s",
-              flush=True)
-        stop_daemon()
-        if daemon.poll() is None:
-            daemon.wait(timeout=60)
         entry["parity"] = check_parity(
             f"/tmp/bench_{name}_tpu.dbg", f"/tmp/bench_{name}_ref.dbg"
         )
@@ -224,41 +323,9 @@ def main():
         results[name] = entry
         json.dump(results, open(path, "w"), indent=2)
 
-    with open(os.path.join(REPO, "BENCHMARKS.md"), "w") as f:
-        f.write(
-            "# Benchmarks — reference binary vs twopaco-tpu\n\n"
-            "Real BASELINE.md datasets are not obtainable offline; each\n"
-            "config uses a synthetic stand-in of the same scale "
-            "(see scripts/run_benchmarks.py).\nReference = C++ TwoPaCo on "
-            f"{os.cpu_count()}-core host; ours = one TPU v5e chip.\n\n"
-            "`ours served` = the production serving mode (resident\n"
-            "daemon, cli/serve.py + native tpclient): the timed run is a\n"
-            "fresh genome the daemon has never dispatched. `ours cold` =\n"
-            "a from-scratch CLI process; on this host that includes a\n"
-            "12-30 s interpreter+PJRT-plugin boot that exists for every\n"
-            "python process (measured: `python -c pass` = 18 s) and is\n"
-            "not part of the framework.\n\n"
-            "| config | bases | reference best | ours served | speedup | "
-            "ours cold | cold speedup | parity |\n"
-            "|---|---|---|---|---|---|---|---|\n"
-        )
-        for name, e in results.items():
-            ref_best = max(
-                v["mbases_per_sec"] for v in e["reference"].values()
-            )
-            ours = e["ours"]["mbases_per_sec"]
-            cold = e.get("ours_cold", {}).get("mbases_per_sec")
-            cold_s = (
-                f"{cold:.2f} Mb/s | {cold/ref_best:.2f}x"
-                if cold else "— | —"
-            )
-            f.write(
-                f"| {name} | {e['total_bases']/1e6:.0f} Mb | "
-                f"{ref_best:.2f} Mb/s | {ours:.2f} Mb/s | "
-                f"{ours/ref_best:.2f}x | {cold_s} | "
-                f"{'PASS' if e['parity'] else 'FAIL'} |\n"
-            )
-    print("wrote BENCHMARKS.json / BENCHMARKS.md")
+    sync_big5g(results)
+    json.dump(results, open(path, "w"), indent=2)
+    write_md(results)
 
 
 if __name__ == "__main__":
