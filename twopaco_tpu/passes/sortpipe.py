@@ -1493,6 +1493,12 @@ def build_junctions_sorted(
             ckpt.save_round(r, pending[-1][1], stats.rounds[-1])
 
     parts_w = parts_pay = parts_pos = None  # release resident parts
+    # round-loop walls rolled up so the timings dict attributes the
+    # full run (per-round detail stays in stats.rounds)
+    for key in ("t_build", "t_sort", "t_finish"):
+        stats.timings["rounds_" + key[2:]] = sum(
+            r.get(key, 0.0) for r in stats.rounds
+        )
     # collect the (thread-overlapped) copies
     t0 = time.time()
     fetched = []
