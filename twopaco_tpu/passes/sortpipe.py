@@ -1225,15 +1225,26 @@ def build_junctions_sorted(
     if n_rounds > 1:
         t0 = time.time()
         stacked = _stack_batches(dev_batches, cfg.P, wide)
-        # sample ~2^23 positions: enough for ~1% interval-mass accuracy
-        hist_stride = max(1, 1 << max(0, n_slots.bit_length() - 24))
-        hist = np.asarray(
-            _histogram_scan(
+        stats.timings["hist_stack"] = time.time() - t0
+        if os.environ.get("TWOPACO_UNIFORM_SPLIT", "1") != "0":
+            # Buzhash values are near-uniform, so a uniform split of the
+            # hash space balances rounds to ~sqrt(records/round) — the
+            # resident path re-splits on overflow anyway. This skips a
+            # full sampled scan + its forcing fetch (0.5s at 64 Mbase,
+            # much more at Gbase scale where it absorbs the H2D wait).
+            # The reference's counter pass is vertexenumerator.h:503-583.
+            hist = np.ones(1 << bin_pow, np.int64)
+            stats.timings["hist"] = time.time() - t0
+        else:
+            # sample ~2^23 positions: ~1% interval-mass accuracy
+            hist_stride = max(1, 1 << max(0, n_slots.bit_length() - 24))
+            hist_d = _histogram_scan(
                 stacked[0], stacked[1],
                 cfg=cfg, bin_pow=bin_pow, stride=hist_stride,
             )
-        )
-        stats.timings["hist"] = time.time() - t0
+            stats.timings["hist_dispatch"] = time.time() - t0
+            hist = np.asarray(hist_d)
+            stats.timings["hist"] = time.time() - t0
 
     parts_w = parts_pay = parts_pos = None
     groups = None  # grouped-resident plan (records exceed HBM budget)
