@@ -435,6 +435,15 @@ def judge_records(sw, pay, abundance, *, check_abundance: bool):
 JUDGE_CHUNK = 1 << 20
 
 
+def _bucket_slots(m: int) -> int:
+    """Bucketed sort-buffer size >= m: pow2 below JUDGE_CHUNK, a
+    multiple of JUDGE_CHUNK above. Bounds the set of compiled program
+    shapes across arbitrary input sizes (single-round path)."""
+    if m >= JUDGE_CHUNK:
+        return -(-m // JUDGE_CHUNK) * JUDGE_CHUNK
+    return 1 << max(14, (m - 1).bit_length())
+
+
 @jax.jit
 def _judge_fwd_chunk(sw, pay, prev_row, carries):
     """One forward judge chunk: group boundaries + segmented prefix
@@ -1326,10 +1335,13 @@ def build_junctions_sorted(
     else:
         intervals = [(0, 0xFFFFFFFF)]
         # single round: direct whole-batch appends fill exactly n_slots
-        # (rows land at row0*P <= n_slots - B*P, never clamped)
-        buf_slots = n_slots
-        if buf_slots > JUDGE_CHUNK:
-            buf_slots = -(-buf_slots // JUDGE_CHUNK) * JUDGE_CHUNK
+        # (rows land at row0*P <= n_slots - B*P, never clamped); the
+        # buffer is bucketed (pow2 below JUDGE_CHUNK, JUDGE_CHUNK
+        # multiples above) so arbitrary input sizes reuse a bounded set
+        # of compiled sort/judge programs — remote XLA compiles cost
+        # minutes per distinct shape, which otherwise dominates serving
+        # unseen small genomes. Tail slots are sentinels the judge drops.
+        buf_slots = _bucket_slots(n_slots)
 
     # checkpoint/resume at round boundaries (the reference keeps
     # intermediate files but has no resume, SURVEY.md §5); rounds are
