@@ -645,13 +645,20 @@ def build_junctions(
     bin_pow = 16
     if config.rounds > 1:
         t0 = time.time()
-        hist = np.zeros(1 << bin_pow, np.int64)
-        for codes_d, valid_d in dev_batches:
-            hist += np.asarray(
-                kernels.histogram_vertex_hashes(
-                    codes_d, valid_d, cfg=cfg, bin_pow=bin_pow
+        if os.environ.get("TWOPACO_UNIFORM_SPLIT", "1") != "0":
+            # near-uniform Buzhash values make a uniform hash-space
+            # split as balanced as the counted one (see the sort
+            # engine); rounds here only bound filter-probe work, so
+            # imbalance costs time, never correctness
+            hist = np.ones(1 << bin_pow, np.int64)
+        else:
+            hist = np.zeros(1 << bin_pow, np.int64)
+            for codes_d, valid_d in dev_batches:
+                hist += np.asarray(
+                    kernels.histogram_vertex_hashes(
+                        codes_d, valid_d, cfg=cfg, bin_pow=bin_pow
+                    )
                 )
-            )
         intervals = _split_rounds(hist, config.rounds, bin_pow)
         stats.timings["split"] = time.time() - t0
         log(f"Splitting the input kmers set... {intervals}")
