@@ -1210,7 +1210,13 @@ def build_junctions_sorted(
         else raw_buf
     )
     capacity = max(1, int((padded_buf - bp) / config.round_slack))
-    n_rounds = max(config.rounds, -(-n_slots // capacity))
+    # an input that fits the sort buffer outright is ALWAYS one round
+    # (direct appends fill exactly n_slots — the slack derate only
+    # covers hash-mass imbalance between multi-round intervals)
+    if n_slots <= max_sort:
+        n_rounds = max(config.rounds, 1)
+    else:
+        n_rounds = max(config.rounds, -(-n_slots // capacity))
     bin_pow = 16
     n_batches = len(batches)
     check_ab = config.abundance < (1 << 64) - 1
