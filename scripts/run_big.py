@@ -140,7 +140,7 @@ def main():
     # bigger sort buffers halve the round count (each round re-hashes
     # the whole input, reference-style); fall back if the remote XLA
     # service can't compile the larger sort program
-    for chunk_pow in (25, 24, 22):
+    for chunk_pow in (26, 25, 24, 22):
         cfg = PipelineConfig(
             k=25,
             filter_bits=30,

@@ -13,9 +13,19 @@ import sys
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual-device collectives run their participant threads 4-at-a-time
+# on this 4-core host; at >=100M-record scale the first 4 shards' compute
+# exceeds XLA:CPU's default 40s rendezvous termination window and the
+# watchdog aborts the whole process (rendezvous.cc). These are virtual
+# devices on one host — a stuck rendezvous here means slow threads, not
+# a dead peer — so give the scale tests an hour.
+if "collective_call_terminate" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = _flags
 # XLA:CPU logs a full-page "AOT machine features" E-line per cache-loaded
 # executable (harmless — the cache is written on this same host); silence it
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
