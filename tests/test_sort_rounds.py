@@ -48,3 +48,45 @@ def test_overflow_detection(tmp_path):
         build_junctions(
             None, cfg, out_path=str(tmp_path / "x.bin"), sequences=sequences
         )
+
+def test_bucket_slots():
+    from twopaco_tpu.passes.sortpipe import JUDGE_CHUNK, _bucket_slots
+
+    # pow2 buckets below JUDGE_CHUNK (16k floor) bound the compiled
+    # program set across arbitrary small-input sizes
+    assert _bucket_slots(1) == 1 << 14
+    assert _bucket_slots(16384) == 16384
+    assert _bucket_slots(16385) == 32768
+    assert _bucket_slots(JUDGE_CHUNK - 1) == JUDGE_CHUNK
+    # JUDGE_CHUNK multiples above
+    assert _bucket_slots(JUDGE_CHUNK) == JUDGE_CHUNK
+    assert _bucket_slots(JUDGE_CHUNK + 1) == 2 * JUDGE_CHUNK
+    assert _bucket_slots(5 * JUDGE_CHUNK - 3) == 5 * JUDGE_CHUNK
+    # always >= m
+    for m in (3, 999, 100_000, 3_000_000):
+        assert _bucket_slots(m) >= m
+
+
+def test_uniform_vs_hist_split_identical_output(tmp_path, monkeypatch):
+    """Round intervals are internal: the uniform hash-space split and
+    the measured-histogram split must produce byte-identical output."""
+    rng = np.random.default_rng(99)
+    base = oracle.generate_sequence(rng, 4000)
+    seqs = [base, oracle.mutate_sequence(rng, base, 0.02, 0.05)]
+    sequences = [(i, dna.encode(s)) for i, s in enumerate(seqs)]
+    outs = []
+    for mode in ("1", "0"):
+        monkeypatch.setenv("TWOPACO_UNIFORM_SPLIT", mode)
+        cfg = PipelineConfig(
+            k=9,
+            filter_bits=20,
+            engine="sort",
+            positions_per_row=256,
+            rows_per_batch=4,
+            sort_chunk=2048,  # forces multiple rounds
+        )
+        out = str(tmp_path / f"m{mode}.bin")
+        enum = build_junctions(None, cfg, out_path=out, sequences=sequences)
+        outs.append((open(out, "rb").read(), enum.vertices_count))
+    assert outs[0][1] == outs[1][1] > 0
+    assert outs[0][0] == outs[1][0]
