@@ -116,6 +116,10 @@ def warm() -> None:
     from twopaco_tpu import passes  # noqa: F401
     from twopaco_tpu.formats import graphdump  # noqa: F401
 
+    # resident process: the one-time executable load of the big sort
+    # programs amortizes across requests, so serve the fast
+    # (fewest-rounds) configuration (cli/twopaco.py sort_chunk tiering)
+    os.environ.setdefault("TWOPACO_SORT_CHUNK", str(1 << 26))
     jax.devices()
 
 

@@ -138,11 +138,11 @@ def main(argv: list[str] | None = None) -> int:
     # Fixed tiers (not proportional sizing) keep jit shapes stable
     # across runs so the persistent compile cache always hits.
     positions, rows = args.tpu_positions, args.tpu_rows
+    try:
+        total_sz = sum(os.path.getsize(f) for f in args.filenames)
+    except OSError:
+        total_sz = 0
     if positions is None or rows is None:
-        try:
-            total_sz = sum(os.path.getsize(f) for f in args.filenames)
-        except OSError:
-            total_sz = 0
         tier = (16384, 128) if total_sz >= (64 << 20) else (2048, 256)
         positions = positions if positions is not None else tier[0]
         rows = rows if rows is not None else tier[1]
@@ -150,6 +150,18 @@ def main(argv: list[str] | None = None) -> int:
     extra = {}
     if args.tpu_sort_chunk is not None:
         extra["sort_chunk"] = args.tpu_sort_chunk
+    elif os.environ.get("TWOPACO_SORT_CHUNK"):
+        # the serve daemon pins the big buffer: its process is resident,
+        # so the one-time executable load amortizes across requests
+        extra["sort_chunk"] = int(os.environ["TWOPACO_SORT_CHUNK"])
+    elif total_sz < (1 << 30):
+        # cold CLI on small/mid inputs: big sort programs execute
+        # faster but cost minutes of per-process executable load on the
+        # remote runtime (measured 343s vs 93s end-to-end on a 285
+        # Mbase input); many small rounds win when the process dies
+        # after one run. Gbase-scale runs amortize the load — keep the
+        # library default (2^26) there.
+        extra["sort_chunk"] = 1 << 22
     cfg = PipelineConfig(
         k=args.kvalue,
         filter_bits=filter_bits,
