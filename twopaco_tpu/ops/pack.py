@@ -15,9 +15,12 @@ word tuples equals string order. k odd implies w == ceil((k+1)/16), so a
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-_FULL = jnp.uint32(0xFFFFFFFF)
+# numpy scalar: a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize ordering
+_FULL = np.uint32(0xFFFFFFFF)
 
 
 def n_words(k: int) -> int:

@@ -382,6 +382,11 @@ def build_junctions_dist(
     from twopaco_tpu.parallel import multihost
 
     put = multihost.make_put(mesh)
+    # all host reads of device results go through multihost.fetch: a
+    # plain np.asarray on a cross-process P("shard") array raises (the
+    # local process holds only its own rows); fetch() all-gathers those
+    # and passes replicated/local arrays straight through
+    F = multihost.fetch
     dev_batches = [
         (
             tuple(put(a) for a in pack.pack_codes_host(b.codes)),
@@ -409,10 +414,13 @@ def build_junctions_dist(
                 codes_d, valid_d, cfg=cfg, bin_pow=bin_pow
             )
             hist = h if hist is None else hist + h
-    bounds = route_bounds_from_hist(np.asarray(whist), D, bin_pow)
-    bounds_d = jnp.asarray(bounds)
+    bounds = route_bounds_from_hist(F(whist), D, bin_pow)
+    # host numpy (not jnp.asarray): numpy inputs are treated as
+    # replicated process-identical values under multi-process jit; a
+    # committed local-device array would not be
+    bounds_d = bounds
     intervals = (
-        _split_rounds(np.asarray(hist), n_rounds, bin_pow)
+        _split_rounds(F(hist), n_rounds, bin_pow)
         if n_rounds > 1
         else [(0, 0xFFFFFFFF)]
     )
@@ -442,7 +450,7 @@ def build_junctions_dist(
         n_pos=n_pos,
     )
     check_ab = config.abundance < (1 << 64) - 1
-    abundance_d = jnp.uint64(config.abundance)
+    abundance_d = np.uint64(config.abundance)
     init_bufs, append, finish, make_pack = _make_steps(
         mesh, dcfg, check_ab, chunk, bloom_gate
     )
@@ -468,9 +476,19 @@ def build_junctions_dist(
     fingerprint = None
     if checkpoint_dir is not None:
         fingerprint = _input_fingerprint(input_paths, sequences)
-    ckpt = sortpipe._Checkpoint(
-        checkpoint_dir, config, n_slots, intervals, fingerprint
-    )
+    # multi-process: the writer owns meta.json + stale-round wiping;
+    # everyone else opens read-only after a barrier (shared fs)
+    if multihost.is_writer():
+        ckpt = sortpipe._Checkpoint(
+            checkpoint_dir, config, n_slots, intervals, fingerprint
+        )
+        multihost.barrier("ckpt_init")
+    else:
+        multihost.barrier("ckpt_init")
+        ckpt = sortpipe._Checkpoint(
+            checkpoint_dir, config, n_slots, intervals, fingerprint,
+            read_only=True,
+        )
 
     fetched: list = []  # (table, kind, payload) entries for the merge
     for r, (low, high) in enumerate(intervals):
@@ -483,7 +501,7 @@ def build_junctions_dist(
             continue
         log(f"Round {r}, {low}:{high}")
         t0 = time.time()
-        low_d, high_d = jnp.uint32(low), jnp.uint32(high)
+        low_d, high_d = np.uint32(low), np.uint32(high)
         marks = 0
         if bloom_gate:
             filt = make_sharded_filter(mesh, scfg_bloom)
@@ -529,9 +547,9 @@ def build_junctions_dist(
         tab_g, op_g, oi_g, ngroups_d, njunc_d, nocc_d = finish(
             buf, abundance_d
         )
-        njunc = np.asarray(njunc_d)  # (D,) — forces the round
-        nocc = np.asarray(nocc_d)
-        ngroups = np.asarray(ngroups_d)
+        njunc = F(njunc_d)  # (D,) — forces the round
+        nocc = F(nocc_d)
+        ngroups = F(ngroups_d)
         n_junc, n_occ = int(njunc.sum()), int(nocc.sum())
 
         # 4-byte packed fetch when every device's block is dense enough
@@ -549,7 +567,7 @@ def build_junctions_dist(
             packed_g, exci_g, exch_g, excl_g, nexc_d = pack_step(
                 op_g, oi_g, nocc_d
             )
-            nexc = np.asarray(nexc_d)
+            nexc = F(nexc_d)
             for d in range(D):
                 cap_t = sortpipe._fetch_cap(int(njunc[d]), m_buf)
                 cap_o = sortpipe._fetch_cap(int(nocc[d]), m_buf)
@@ -559,11 +577,11 @@ def build_junctions_dist(
                 t_off, e_off = d * m_buf, d * occ_exc_cap
                 round_entries.append(
                     sortpipe._fetch_round_packed(
-                        tab_g[t_off : t_off + cap_t],
-                        packed_g[t_off : t_off + cap_o],
-                        exci_g[e_off : e_off + ecf],
-                        exch_g[e_off : e_off + ecf],
-                        excl_g[e_off : e_off + ecf],
+                        F(tab_g[t_off : t_off + cap_t]),
+                        F(packed_g[t_off : t_off + cap_o]),
+                        F(exci_g[e_off : e_off + ecf]),
+                        F(exch_g[e_off : e_off + ecf]),
+                        F(excl_g[e_off : e_off + ecf]),
                         int(njunc[d]), int(nocc[d]), spec,
                     )
                 )
@@ -574,11 +592,11 @@ def build_junctions_dist(
                 t_off = d * m_buf
                 round_entries.append(
                     sortpipe._fetch_round_exact(
-                        tab_g[t_off : t_off + cap_t],
+                        F(tab_g[t_off : t_off + cap_t]),
                         tuple(
-                            c[t_off : t_off + cap_o] for c in op_g
+                            F(c[t_off : t_off + cap_o]) for c in op_g
                         ),
-                        oi_g[t_off : t_off + cap_o],
+                        F(oi_g[t_off : t_off + cap_o]),
                         int(njunc[d]), int(nocc[d]),
                     )
                 )
@@ -624,7 +642,12 @@ def build_junctions_dist(
                     else np.zeros(0, np.int64),
                 ),
             )
-            ckpt.save_round(r, entry, stats.rounds[-1])
+            # multi-process: single-writer checkpoints (shared fs),
+            # barrier so no process resumes past a round whose file
+            # isn't durable yet
+            if multihost.is_writer():
+                ckpt.save_round(r, entry, stats.rounds[-1])
+            multihost.barrier(f"ckpt_round_{r}")
             fetched.append(entry)
         else:
             fetched.extend(round_entries)

@@ -45,6 +45,8 @@ def initialize(
     jax.distributed (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
     JAX_PROCESS_ID) or the TPU metadata service on real pods.
     """
+    if jax.distributed.is_initialized():
+        return  # idempotent: entry points call this defensively
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
@@ -90,13 +92,33 @@ def make_put(mesh: Mesh) -> Callable[[np.ndarray], jax.Array]:
     return put
 
 
-def fetch(a: jax.Array) -> np.ndarray:
-    """Gather a (possibly cross-host sharded) array to every host."""
-    if jax.process_count() == 1:
+def fetch(a) -> np.ndarray:
+    """Gather a (possibly cross-host sharded) array to every host.
+
+    Replicated or fully-addressable arrays convert directly (passing
+    them to process_allgather would CONCATENATE one copy per process);
+    only cross-host row-sharded arrays need the DCN all-gather."""
+    if (
+        jax.process_count() == 1
+        or not isinstance(a, jax.Array)
+        or a.is_fully_replicated
+        or a.is_fully_addressable
+    ):
         return np.asarray(a)
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (no-op when
+    single-process). Used to order proc-0 file writes (checkpoints)
+    against other processes reading them back."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def is_writer() -> bool:
@@ -110,11 +132,15 @@ def build_junctions_multihost(
     out_path: str | None = None,
     sequences=None,
     log: Callable[[str], None] = lambda s: None,
+    checkpoint_dir: str | None = None,
+    bloom_gate: bool = False,
 ):
     """Multi-host entry: initialize(), build over the global mesh,
     process 0 writes. Every process must call this with identical
     arguments (SPMD); each parses the input itself (streaming, host
-    RAM only) while device work is sharded across all hosts."""
+    RAM only) while device work is sharded across all hosts.
+    checkpoint_dir must be on a filesystem every process can read
+    (process 0 writes the round files, a barrier orders the reads)."""
     initialize()
     from twopaco_tpu.parallel.distpipe import build_junctions_dist
 
@@ -126,4 +152,6 @@ def build_junctions_multihost(
         out_path=out_path if is_writer() else None,
         sequences=sequences,
         log=log if is_writer() else (lambda s: None),
+        checkpoint_dir=checkpoint_dir,
+        bloom_gate=bloom_gate,
     )

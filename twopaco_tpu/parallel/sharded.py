@@ -39,7 +39,7 @@ from twopaco_tpu.passes import kernels
 
 U32 = jnp.uint32
 U64 = jnp.uint64
-_SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # numpy: no backend init at import
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:

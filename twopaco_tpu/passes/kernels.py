@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from twopaco_tpu.ops import bloom, buzhash as bz, pack
 
@@ -364,7 +365,7 @@ def verify_records(words, in_code, out_code, abundance, *, w: int):
     return sw, keep_first, n_groups, jnp.sum(keep_first, dtype=jnp.int64)
 
 
-INVALID_ID32 = jnp.int32((1 << 31) - 1)
+INVALID_ID32 = np.int32((1 << 31) - 1)  # numpy: no backend init at import
 
 
 @partial(jax.jit, static_argnames=("cfg", "cap"))

@@ -214,7 +214,11 @@ class RoundCheckpoint:
     no resume (SURVEY.md §5); rounds are deterministic here, so
     completed ones can be reloaded verbatim."""
 
-    def __init__(self, directory, meta: dict):
+    def __init__(self, directory, meta: dict, read_only: bool = False):
+        """read_only: skip the meta write + stale-file wipe — the mode
+        of non-writer processes in a multi-process run, where exactly
+        one process (the writer) owns the directory's mutations and a
+        barrier orders them before anyone reads (parallel/distpipe)."""
         self.dir = directory
         if directory is None:
             return
@@ -223,6 +227,8 @@ class RoundCheckpoint:
 
         os.makedirs(directory, exist_ok=True)
         self.meta = meta
+        if read_only:
+            return
         meta_path = os.path.join(directory, "meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:

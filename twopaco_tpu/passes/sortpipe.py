@@ -63,7 +63,7 @@ from twopaco_tpu.passes.pipeline import (
 )
 
 U32 = jnp.uint32
-SENTINEL_WORD = jnp.uint32(0xFFFFFFFF)
+SENTINEL_WORD = np.uint32(0xFFFFFFFF)  # numpy: no backend init at import
 
 
 # ---- positions -------------------------------------------------------
@@ -1076,7 +1076,7 @@ class _Checkpoint(RoundCheckpoint):
 
     def __init__(
         self, directory, config: PipelineConfig, n_slots, intervals,
-        fingerprint=None,
+        fingerprint=None, read_only: bool = False,
     ):
         super().__init__(
             directory,
@@ -1090,6 +1090,7 @@ class _Checkpoint(RoundCheckpoint):
                 fingerprint=fingerprint,
                 version=2,
             ),
+            read_only=read_only,
         )
 
     def load_round(self, r: int):
