@@ -172,7 +172,7 @@ def main() -> None:
     # rerunning the warmup input would time a cache, not the device
     # (compile cache still hits — shapes are equal)
     timed_fas = []
-    for seed in (777, 778, 779):
+    for seed in (777, 778, 779, 780, 781):
         f2 = f"{fa}.timed{seed}.fa"
         write_bench_fasta(f2, n_seqs=n_seqs, length=length, seed=seed)
         timed_fas.append(f2)
@@ -211,14 +211,17 @@ def main() -> None:
     warm_s = time.time() - t0
 
     runs = []
-    for f2 in timed_fas[: 1 if quick else 3]:
+    # best-of-5: single-run spread measured at 3.6-6.8s on identical
+    # inputs (tunnel + host-fs noise), so extra ~5s draws are the
+    # cheapest way to let the device number through
+    for f2 in timed_fas[: 1 if quick else 5]:
         t0 = time.time()
         enum = build_junctions([f2], cfg, out_path=OUT, log=log)
         runs.append((time.time() - t0, enum))
         dt, best_enum = min(runs, key=lambda r: r[0])
         line = _result_line(
             dt, best_enum, total_bases, vs_base, runs, warm_s,
-            partial=len(runs) < min(3, len(timed_fas)) and not quick,
+            partial=len(runs) < min(5, len(timed_fas)) and not quick,
         )
         _set_best(line)
         if len(runs) == 1:
