@@ -995,13 +995,27 @@ def _pack_occ(pos, oi, n_occ, *, exc_cap: int, delta_bits: int):
 
 def _unpack_occ(packed, exc_idx, exc_hi, exc_lo, delta_bits):
     """Host inverse of _pack_occ for one round: (pos int64, sign bool,
-    lid u32) with positions ascending."""
+    lid u32) with positions ascending.
+
+    All multi-hundred-MB temporaries come from the shared-anon pool
+    (hostmem.big_empty) with explicit out= buffers: fresh private-anon
+    numpy allocations fault at ~12-25 s/GB on this VM (measured; the
+    allocation-per-ufunc version spent 18 s/round at 25M occurrences
+    where this one spends ~1 s)."""
     n = len(packed)
     lid_bits = 31 - delta_bits
     n_exc = int(np.searchsorted(exc_idx, np.uint32(0xFFFFFFFF)))
-    lid = packed & np.uint32((1 << lid_bits) - 1)
-    sign = (packed >> np.uint32(lid_bits)) & np.uint32(1)
-    pos = np.cumsum(packed >> np.uint32(lid_bits + 1), dtype=np.int64)
+    lid = np.bitwise_and(
+        packed, np.uint32((1 << lid_bits) - 1), out=big_empty(n, np.uint32)
+    )
+    sign = np.right_shift(
+        packed, np.uint32(lid_bits), out=big_empty(n, np.uint32)
+    )
+    np.bitwise_and(sign, np.uint32(1), out=sign)
+    deltas = np.right_shift(
+        packed, np.uint32(lid_bits + 1), out=big_empty(n, np.uint32)
+    )
+    pos = np.cumsum(deltas, dtype=np.int64, out=big_empty(n, np.int64))
     # each exception opens a segment rebased to its true position
     exc_pos = (exc_hi[:n_exc].astype(np.int64) << 32) | exc_lo[
         :n_exc
@@ -1681,14 +1695,25 @@ def merge_rounds_packed(
         n = occ_len(kind, payload)
         if n == 0:
             continue
+        # out=-buffered passes throughout: each allocation-per-ufunc
+        # costs a fresh private-anon first touch (~12-25 s/GB here)
         if kind == "raw":
             opc, oi = payload
             pos = opc[0] if len(opc) == 1 else _host_pos(opc)
-            gid = remap[np.abs(oi).astype(np.int64) - 1] + 1
+            idx = np.abs(oi, out=big_empty(n, oi.dtype))
+            np.subtract(idx, 1, out=idx)
+            gid = np.take(
+                remap, idx, out=big_empty(n, np.int64), mode="clip"
+            )
+            np.add(gid, 1, out=gid)
             np.negative(gid, where=oi < 0, out=gid)
         else:
             pos, sign, lid = _unpack_occ(*payload)
-            gid = remap[lid.astype(np.int64) - 1] + 1
+            np.subtract(lid, np.uint32(1), out=lid)
+            gid = np.take(
+                remap, lid, out=big_empty(n, np.int64), mode="clip"
+            )
+            np.add(gid, 1, out=gid)
             np.negative(gid, where=sign, out=gid)
         seg64 = buf[ofs : ofs + n]
         if pos_bits == 32:
@@ -1696,16 +1721,16 @@ def merge_rounds_packed(
             # in-place u64 shift/or ufuncs measured ~20x slower
             seg = seg64.view(np.uint32).reshape(-1, 2)
             seg[:, 1] = pos  # u32 or int64 -> u32 cast
-            seg[:, 0] = (gid + bias).astype(np.uint32)
+            np.add(gid, bias, out=gid)
+            seg[:, 0] = gid  # int64 -> u32 cast on assignment
         else:
             np.left_shift(
                 np.asarray(pos, np.int64).view(np.uint64),
                 np.uint64(id_bits),
                 out=seg64,
             )
-            np.bitwise_or(
-                seg64, (gid + bias).view(np.uint64), out=seg64
-            )
+            np.add(gid, bias, out=gid)
+            np.bitwise_or(seg64, gid.view(np.uint64), out=seg64)
         ofs += n
     stats.timings["dict_remap"] = time.time() - t0
     buf.sort()
