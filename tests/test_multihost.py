@@ -129,6 +129,22 @@ def test_two_process_byte_identical(fixture_paths):
         assert f1.read() == f2.read()
 
 
+def test_two_process_bloom_gate_byte_identical(fixture_paths):
+    """engine="dist-bloom" across REAL processes: the hash-sharded
+    Bloom filter's fill/mark all_to_all collectives cross the process
+    boundary, then the gated sort-join tail must still produce bytes
+    identical to the single-device engine."""
+    fa, golden, n_vert, tmp = fixture_paths
+    out = str(tmp / "mh_bloom.dbg")
+    results = _launch(
+        {"fa": fa, "out": out, "config": CONFIG, "bloom_gate": True}
+    )
+    for r in results.values():
+        assert r["vertices"] == n_vert
+    with open(out, "rb") as f1, open(golden, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_two_process_checkpoint_resume(fixture_paths):
     fa, golden, n_vert, tmp = fixture_paths
     out = str(tmp / "mh_ck.dbg")
