@@ -114,6 +114,19 @@ def attach_reference(res: dict, out: str, total: int) -> None:
             junctions.read_junctions(ref_dbg),
         )
     )
+    # pin the parity evidence to the exact bytes it was checked on, so
+    # a future carry-forward can prove it applies (counts alone don't)
+    res["dbg_sha256"] = _sha256(out)
+
+
+def _sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for blk in iter(lambda: f.read(1 << 22), b""):
+            h.update(blk)
+    return h.hexdigest()
 
 
 def main():
@@ -173,28 +186,32 @@ def main():
         timings={k: round(v, 2) for k, v in enum.stats.timings.items()},
     )
     attach_reference(res, out, total)
+    res.setdefault("dbg_sha256", _sha256(out))
     if "reference" not in res and os.path.exists(res_path):
         # identical input (same generator/seed) + byte-deterministic
         # engine => this run's junction set equals the one the earlier
-        # recorded run parity-checked against the reference binary;
-        # carry that evidence forward instead of redoing the ~1h
-        # reference run (its .dbg lives in /tmp, wiped between rounds)
-        prev = json.load(open(res_path))
-        if (
-            prev.get("total_bases") == total
-            and prev.get("parity_vs_reference")
-            and prev.get("distinct_junctions") == enum.vertices_count
-            and prev.get("occurrences") == enum.stats.occurrences
-            and prev["validate"].get("records")
-            == res["validate"].get("records")
-        ):
-            res["reference"] = prev["reference"]
-            res["parity_vs_reference"] = True
-            res["parity_note"] = (
-                "carried from the previous recorded run on the "
-                "identical input: junction/occurrence counts match and "
-                "the engine is byte-deterministic"
-            )
+        # recorded run parity-checked against the reference binary —
+        # but only provably so when the produced .dbg is BYTE-IDENTICAL
+        # to the one that was actually checked (counts alone don't
+        # establish set equality); carry the evidence forward instead
+        # of redoing the ~1h reference run only under that hash guard
+        try:
+            prev = json.load(open(res_path))
+            if (
+                prev.get("total_bases") == total
+                and prev.get("parity_vs_reference")
+                and prev.get("dbg_sha256")
+                and prev.get("dbg_sha256") == res["dbg_sha256"]
+            ):
+                res["reference"] = prev["reference"]
+                res["parity_vs_reference"] = True
+                res["parity_note"] = (
+                    "carried from the previous recorded run: this "
+                    "run's output .dbg is byte-identical (sha256) to "
+                    "the one parity-checked against the reference"
+                )
+        except (OSError, ValueError, KeyError) as e:
+            print(f"parity carry skipped: {e}", flush=True)
     print(json.dumps(res), flush=True)
     json.dump(res, open(res_path, "w"), indent=2)
 

@@ -24,6 +24,10 @@ from twopaco_tpu.testing import oracle
         101,
         127,
         129,
+        # the reference ceiling's neighborhood (CAPACITY<=19 uint64
+        # words => max odd k=603, candidateoccurence.h:129-133)
+        pytest.param(311, marks=pytest.mark.slow),
+        pytest.param(603, marks=pytest.mark.slow),
     ],
 )
 @pytest.mark.parametrize("engine", ["sort", "bloom"])
@@ -69,7 +73,7 @@ def _golden(name: str) -> str:
         return fh.read()
 
 
-@pytest.mark.parametrize("k", [101, 129])
+@pytest.mark.parametrize("k", [101, 129, 311, 603])
 @pytest.mark.parametrize("fmt", ["seq", "group", "dot", "gfa1", "gfa2", "fasta"])
 def test_graphdump_large_k_byte_parity(k, fmt):
     """All six output formats byte-match the reference graphdump binary
@@ -95,7 +99,15 @@ def test_graphdump_large_k_byte_parity(k, fmt):
     assert buf.getvalue() == _golden(f"largek_k{k}.{fmt}")
 
 
-@pytest.mark.parametrize("k", [101, 129])
+@pytest.mark.parametrize(
+    "k",
+    [
+        101,
+        129,
+        pytest.param(311, marks=pytest.mark.slow),
+        pytest.param(603, marks=pytest.mark.slow),
+    ],
+)
 @pytest.mark.parametrize("engine", ["sort", "bloom"])
 def test_constructor_large_k_partition_parity(tmp_path, k, engine):
     """Our constructor's junction positions + group partition match the

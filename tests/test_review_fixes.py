@@ -88,8 +88,42 @@ def test_bloom_bit_layout_f_cap():
     from twopaco_tpu.ops import bloom
 
     assert bloom.choose_layout(35) == "bit"
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="dist-bloom"):
         bloom.choose_layout(36)
+
+
+def test_big_f_layout_routing():
+    """Reference README.md:71-79 recommends f up to 40 on big hosts:
+    the sort engines accept any f (no filter), dist-bloom resolves the
+    layout per shard, single-chip bloom errors with guidance."""
+    from twopaco_tpu.passes import PipelineConfig
+
+    c38 = PipelineConfig(k=25, filter_bits=38)
+    # per-device: 2^35 slots on 8 devices -> bit layout fits
+    assert c38.resolve_layout(shard_devices=8) == "bit"
+    assert PipelineConfig(k=25, filter_bits=40).resolve_layout(
+        shard_devices=64
+    ) == "bit"
+    with pytest.raises(ValueError, match="per device"):
+        c38.resolve_layout()  # single chip: too big
+    # filterless path (sort engines): no layout check at any f
+    cfg = PipelineConfig(k=25, filter_bits=40).pass_config(
+        filterless=True
+    )
+    assert cfg.f == 40
+
+
+def test_cli_f40_sort_engine_runs(tmp_path):
+    """-f 40 with the default engine must run (hash width only)."""
+    from twopaco_tpu.cli import twopaco as cli
+
+    fa = tmp_path / "t.fa"
+    fa.write_text(">s\n" + "ACGTTGCAACGGTTAACCGGTTAA" * 8 + "\n")
+    out40 = str(tmp_path / "o40.bin")
+    out20 = str(tmp_path / "o20.bin")
+    assert cli.main(["-k", "9", "-f", "40", "-o", out40, str(fa)]) == 0
+    assert cli.main(["-k", "9", "-f", "20", "-o", out20, str(fa)]) == 0
+    assert open(out40, "rb").read() == open(out20, "rb").read()
 
 
 def test_sortshard_abundance_applied():

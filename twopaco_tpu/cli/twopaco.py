@@ -87,7 +87,11 @@ def make_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--tpu-sort-chunk", type=int, default=None,
-        help="Max records per round sort (sort engine; default 2^22)",
+        help="Max records per round sort (sort engine). Default is "
+        "tiered: 2^22 for cold-CLI inputs under 1 GB (small programs "
+        "load instantly), 2^26 for bigger inputs and for the resident "
+        "serve daemon (TWOPACO_SORT_CHUNK pins it), matching the "
+        "library default in PipelineConfig.sort_chunk",
     )
     p.add_argument(
         "--tpu-wide", action="store_true",

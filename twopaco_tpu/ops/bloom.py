@@ -33,12 +33,27 @@ BIT_LAYOUT_MAX_F = 35  # 4 GiB of bits; word index (2^30) must fit int32
 # sentinel scheme; shard across devices instead)
 
 
-def choose_layout(f: int, byte_budget_bytes: int = 1 << 31) -> str:
-    if (1 << f) <= byte_budget_bytes and f <= BYTE_LAYOUT_MAX_F:
+def choose_layout_slots(
+    slots: int, byte_budget_bytes: int = 1 << 31
+) -> str:
+    """Pick a layout for a filter (shard) of `slots` Bloom slots."""
+    if slots <= byte_budget_bytes and slots <= (1 << BYTE_LAYOUT_MAX_F):
         return "byte"
-    if f <= BIT_LAYOUT_MAX_F:
+    if slots <= (1 << BIT_LAYOUT_MAX_F):
         return "bit"
-    raise ValueError(f"filter size 2^{f} not supported (max f={BIT_LAYOUT_MAX_F})")
+    raise ValueError(
+        f"Bloom filter of {slots} slots per device exceeds the "
+        f"supported layouts (max 2^{BIT_LAYOUT_MAX_F} slots = 4 GiB of "
+        "bits per device). Use --tpu-engine dist-bloom to shard the "
+        "filter across a device mesh (each device then owns "
+        "2^f/n_devices slots), spread it over more devices, or lower "
+        "-f/--filtermemory. The default sort engine does not allocate "
+        "a filter and accepts any -f."
+    )
+
+
+def choose_layout(f: int, byte_budget_bytes: int = 1 << 31) -> str:
+    return choose_layout_slots(1 << f, byte_budget_bytes)
 
 
 def make_filter(f: int, layout: str) -> jnp.ndarray:

@@ -351,7 +351,12 @@ def build_junctions_dist(
     if mesh is None:
         mesh = make_mesh()
     D = mesh.devices.size
-    cfg = config.pass_config()
+    # only dist-bloom allocates a filter, and it is sharded: resolve
+    # the layout against the PER-DEVICE slot count so -f 36..40 work
+    # once the mesh is wide enough (reference README.md:71-79 sizes)
+    cfg = config.pass_config(
+        filterless=not bloom_gate, shard_devices=D if bloom_gate else 1
+    )
     if cfg.B % D:
         raise ValueError(
             f"rows_per_batch ({cfg.B}) must be a multiple of the mesh "

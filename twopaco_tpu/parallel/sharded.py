@@ -88,7 +88,12 @@ def make_sharded_filter(mesh: Mesh, scfg: ShardedConfig):
         n = scfg.n_devices * (scfg.local_slots // 32)
         dtype = U32
     sharding = NamedSharding(mesh, P("shard"))
-    return jax.device_put(jnp.zeros(n, dtype), sharding)
+    # jit with a sharded out_sharding: each device zero-fills only its
+    # own shard — device_put(jnp.zeros(n)) would first materialize the
+    # whole (multi-GiB at -f 36+) array on the default device
+    return jax.jit(
+        lambda: jnp.zeros(n, dtype), out_shardings=sharding
+    )()
 
 
 def _owner_and_slot(idx: jnp.ndarray, scfg: ShardedConfig):

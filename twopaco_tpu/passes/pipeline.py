@@ -74,17 +74,30 @@ class PipelineConfig:
         if self.k < 3:
             raise ValueError(f"k must be >= 3 (got {self.k})")
 
-    def resolve_layout(self) -> str:
+    def resolve_layout(self, shard_devices: int = 1) -> str:
+        """Layout for the filter (shard) each device will hold.
+
+        shard_devices > 1 = the dist-bloom engine: each device owns
+        ceil(2^f / D) slots, so e.g. -f 38 fits the bit layout on an
+        8-device mesh even though it exceeds the single-chip cap."""
         if self.layout != "auto":
             return self.layout
-        return bloom.choose_layout(self.filter_bits)
+        slots = -(-(1 << self.filter_bits) // shard_devices)
+        return bloom.choose_layout_slots(slots)
 
-    def pass_config(self) -> kernels.PassConfig:
+    def pass_config(
+        self, *, filterless: bool = False, shard_devices: int = 1
+    ) -> kernels.PassConfig:
+        """filterless: the sort-join engines never allocate a Bloom
+        filter — skip the layout capacity check so any -f (it only
+        sets the hash width there) is accepted."""
         return kernels.PassConfig(
             k=self.k,
             q=self.hash_functions,
             f=self.filter_bits,
-            layout=self.resolve_layout(),
+            layout="byte" if filterless else self.resolve_layout(
+                shard_devices
+            ),
             positions_per_row=self.positions_per_row,
             rows_per_batch=self.rows_per_batch,
         )

@@ -1024,7 +1024,8 @@ def _unpack_occ(packed, exc_idx, exc_hi, exc_lo, delta_bits):
     for j in range(n_exc):
         a, b = bounds[j], bounds[j + 1]
         pos[a:b] += exc_pos[j] - pos[a]
-    return pos, sign.astype(bool), lid
+    sign_b = np.not_equal(sign, 0, out=big_empty(n, np.bool_))
+    return pos, sign_b, lid
 
 
 def _fetch_round_exact(tab_d, op_d, oi_d, n_junc, n_occ):
@@ -1159,7 +1160,7 @@ def build_junctions_sorted(
     checkpoint_dir: str | None = None,
 ) -> Enumerator:
     """Sort-join counterpart of pipeline.build_junctions (same contract)."""
-    cfg = config.pass_config()
+    cfg = config.pass_config(filterless=True)
     wcfg = config.window_config()
     stats = RunStats()
     t_start = time.time()
@@ -1702,14 +1703,28 @@ def merge_rounds_packed(
             pos = opc[0] if len(opc) == 1 else _host_pos(opc)
             idx = np.abs(oi, out=big_empty(n, oi.dtype))
             np.subtract(idx, 1, out=idx)
+            # mode="clip" is the fast path, so a corrupt id would
+            # silently map to a plausible junction — keep the loud
+            # last-line drop detector (CLAUDE.md invariant) explicit
+            if int(idx.max(initial=0)) >= len(remap):
+                raise RuntimeError(
+                    f"occurrence id out of range: max index "
+                    f"{int(idx.max())} >= table size {len(remap)}"
+                )
             gid = np.take(
                 remap, idx, out=big_empty(n, np.int64), mode="clip"
             )
             np.add(gid, 1, out=gid)
-            np.negative(gid, where=oi < 0, out=gid)
+            neg = np.less(oi, 0, out=big_empty(n, np.bool_))
+            np.negative(gid, where=neg, out=gid)
         else:
             pos, sign, lid = _unpack_occ(*payload)
             np.subtract(lid, np.uint32(1), out=lid)
+            if int(lid.max(initial=0)) >= len(remap):
+                raise RuntimeError(
+                    f"occurrence local id out of range: max index "
+                    f"{int(lid.max())} >= table size {len(remap)}"
+                )
             gid = np.take(
                 remap, lid, out=big_empty(n, np.int64), mode="clip"
             )
