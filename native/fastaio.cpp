@@ -58,6 +58,134 @@ struct TpFastaResult {
   char error[256];
 };
 
+// Encode one file into a CALLER-PROVIDED codes buffer (cap bytes; the
+// file size is always enough). Streams the file through a small reused
+// chunk, so the only multi-GB memory touched is the caller's buffer —
+// which Python hands in from its warm shared-anon pool
+// (twopaco_tpu/hostmem.py: private-anon first-touch costs ~12-25 s/GB
+// on the target VM, shared-anon ~0.9 s/GB, and a pooled buffer is
+// free). result->codes is left NULL: the caller owns the codes.
+// Returns 0 on success; negative with result->error otherwise.
+int tp_encode_fasta_into(const char* path, uint8_t* codes, int64_t cap,
+                         TpFastaResult* out) {
+  memset(out, 0, sizeof(*out));
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    snprintf(out->error, sizeof(out->error), "Can't open file %s", path);
+    return -1;
+  }
+  const size_t CH = 8 << 20;
+  std::vector<uint8_t> buf(CH);
+  std::vector<int64_t> offsets;
+  std::string headers;
+  std::string hdr_line;
+  int64_t n_codes = 0;
+  enum { BODY, HEADER } st = BODY;
+  bool first = true;
+  bool in_any_record = false;
+  for (;;) {
+    size_t got = fread(buf.data(), 1, CH, f);
+    if (got == 0) break;
+    size_t i = 0;
+    if (first) {
+      if (buf[0] != '>') {
+        fclose(f);
+        snprintf(out->error, sizeof(out->error),
+                 "The FASTA header should start with a '>'");
+        return -3;
+      }
+      first = false;
+    }
+    while (i < got) {
+      if (st == HEADER) {
+        size_t j = i;
+        while (j < got && buf[j] != '\n') ++j;
+        hdr_line.append((const char*)buf.data() + i, j - i);
+        i = j;
+        if (i < got) {  // newline: header line complete, body starts
+          ++i;
+          size_t hs = 0, n = hdr_line.size();
+          while (hs < n && (hdr_line[hs] == ' ' || hdr_line[hs] == '\t'))
+            ++hs;
+          size_t he = hs;
+          while (he < n && hdr_line[he] != ' ' && hdr_line[he] != '\t' &&
+                 hdr_line[he] != '\r')
+            ++he;
+          headers.append(hdr_line, hs, he - hs);
+          headers.push_back('\0');
+          offsets.push_back(n_codes);
+          st = BODY;
+        }
+        continue;
+      }
+      // BODY (or before the first record): next record at any '>',
+      // even mid-line (reference streamfastaparser.cpp:73-77)
+      const uint8_t* gt =
+          (const uint8_t*)memchr(buf.data() + i, '>', got - i);
+      size_t stop = gt ? (size_t)(gt - buf.data()) : got;
+      if (in_any_record) {
+        if (n_codes + (int64_t)(stop - i) > cap) {
+          fclose(f);
+          snprintf(out->error, sizeof(out->error),
+                   "codes buffer too small (%lld)", (long long)cap);
+          return -5;
+        }
+        uint8_t bad = 0;
+        int64_t n = n_codes;
+        for (size_t j = i; j < stop; ++j) {
+          uint8_t c = kTable.code[buf[j]];
+          codes[n] = c;
+          n += (c < 5);  // branchless append; 254 (ws) overwritten
+          bad |= (uint8_t)(c == 255);
+        }
+        if (bad) {
+          for (size_t j = i; j < stop; ++j) {
+            if (kTable.code[buf[j]] == 255) {
+              snprintf(out->error, sizeof(out->error),
+                       "Found an invalid character '%c' in %s",
+                       buf[j], path);
+              break;
+            }
+          }
+          fclose(f);
+          return -4;
+        }
+        n_codes = n;
+      }
+      i = stop;
+      if (gt) {  // start of the next record
+        ++i;
+        st = HEADER;
+        hdr_line.clear();
+        in_any_record = true;
+      }
+    }
+  }
+  fclose(f);
+  if (st == HEADER) {  // EOF inside the header line: empty body
+    size_t hs = 0, n = hdr_line.size();
+    while (hs < n && (hdr_line[hs] == ' ' || hdr_line[hs] == '\t')) ++hs;
+    size_t he = hs;
+    while (he < n && hdr_line[he] != ' ' && hdr_line[he] != '\t' &&
+           hdr_line[he] != '\r')
+      ++he;
+    headers.append(hdr_line, hs, he - hs);
+    headers.push_back('\0');
+    offsets.push_back(n_codes);
+  }
+  offsets.push_back(n_codes);
+  out->codes = NULL;  // caller-owned
+  out->codes_len = n_codes;
+  out->n_records = (int64_t)offsets.size() - 1;
+  out->rec_offsets = (int64_t*)malloc(offsets.size() * sizeof(int64_t));
+  memcpy(out->rec_offsets, offsets.data(),
+         offsets.size() * sizeof(int64_t));
+  out->headers_len = (int64_t)headers.size();
+  out->headers = (char*)malloc(headers.size() ? headers.size() : 1);
+  memcpy(out->headers, headers.data(), headers.size());
+  return 0;
+}
+
 // Encode one file. Returns 0 on success; on failure a negative code with
 // result->error describing the problem.
 int tp_encode_fasta(const char* path, TpFastaResult* out) {

@@ -145,6 +145,31 @@ def test_two_process_bloom_gate_byte_identical(fixture_paths):
         assert f1.read() == f2.read()
 
 
+@pytest.mark.parametrize("bloom_gate", [False, True])
+def test_two_process_wide_positions_byte_identical(
+    fixture_paths, bloom_gate
+):
+    """u32-pair (wide) routed positions across REAL processes: the
+    >=4.2 Gbase record layout (distpipe's second position column rides
+    the all_to_all routing) must produce bytes identical to the
+    narrow single-device engine — with and without the sharded Bloom
+    gate. Forced via PipelineConfig.force_wide on a small corpus."""
+    fa, golden, n_vert, tmp = fixture_paths
+    out = str(tmp / f"mh_wide{int(bloom_gate)}.dbg")
+    results = _launch(
+        {
+            "fa": fa,
+            "out": out,
+            "config": dict(CONFIG, force_wide=True),
+            "bloom_gate": bloom_gate,
+        }
+    )
+    for r in results.values():
+        assert r["vertices"] == n_vert
+    with open(out, "rb") as f1, open(golden, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_two_process_checkpoint_resume(fixture_paths):
     fa, golden, n_vert, tmp = fixture_paths
     out = str(tmp / "mh_ck.dbg")

@@ -60,6 +60,13 @@ def _load():
                 ctypes.POINTER(_TpFastaResult),
             ]
             lib.tp_encode_fasta.restype = ctypes.c_int
+            lib.tp_encode_fasta_into.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(_TpFastaResult),
+            ]
+            lib.tp_encode_fasta_into.restype = ctypes.c_int
             lib.tp_free_result.argtypes = [ctypes.POINTER(_TpFastaResult)]
             lib.tp_emit_records.argtypes = [
                 ctypes.POINTER(ctypes.c_int64),
@@ -124,20 +131,30 @@ def encode_fasta_native(path: str) -> list[tuple[str, np.ndarray]] | None:
     lib = _load()
     if lib is None:
         return None
+    from twopaco_tpu.hostmem import big_empty
+
+    # the encoder streams the file through a small chunk and writes
+    # codes straight into this buffer — the ONLY multi-GB allocation of
+    # the read path, and it comes from the shared-anon pool (fresh
+    # private-anon pages fault at ~12-25 s/GB on this VM)
+    try:
+        cap = max(os.path.getsize(path), 1)
+    except OSError:
+        raise RuntimeError(f"Can't open file {os.fspath(path)}") from None
+    codes = big_empty(cap, np.uint8)
     res = _TpFastaResult()
-    rc = lib.tp_encode_fasta(os.fspath(path).encode(), ctypes.byref(res))
+    rc = lib.tp_encode_fasta_into(
+        os.fspath(path).encode(),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        ctypes.byref(res),
+    )
     if rc != 0:
         msg = res.error.decode(errors="replace")
         raise RuntimeError(msg or f"native FASTA parse failed ({rc})")
     try:
         n = res.n_records
         total = res.codes_len
-        from twopaco_tpu.hostmem import big_empty
-
-        codes = big_empty(max(total, 1), np.uint8)[:total]
-        codes[:] = np.ctypeslib.as_array(
-            res.codes, shape=(max(total, 1),)
-        )[:total]
         offs = np.ctypeslib.as_array(res.rec_offsets, shape=(n + 1,)).copy()
         raw_headers = ctypes.string_at(res.headers, res.headers_len)
         headers = raw_headers.split(b"\0")[:n]

@@ -376,7 +376,11 @@ def build_junctions_dist(
     n_slots = len(batches) * cfg.B * cfg.P
     # beyond 2^32 flat positions (~4.2 Gbases) records carry a second
     # u32 position column, exactly as the single-chip engine
-    wide = n_slots >= 1 << 32 or os.environ.get("TWOPACO_POS64") == "1"
+    wide = (
+        n_slots >= 1 << 32
+        or config.force_wide
+        or os.environ.get("TWOPACO_POS64") == "1"
+    )
     n_pos = 2 if wide else 1
     log(
         f"Engine = distributed {'bloom-gated ' if bloom_gate else ''}"

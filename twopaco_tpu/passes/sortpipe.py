@@ -186,28 +186,23 @@ def build_and_partition(
     codes = pack.as_codes(codes, cfg.P + cfg.k + 1)
     B, P, w = codes.shape[0], cfg.P, cfg.w
     m = B * P
-    canonV, payload, hv, ok, flat = _batch_records(codes, valid, base, cfg)
+    canonV, payload, hv, ok, _flat = _batch_records(codes, valid, base, cfg)
     ok = ok & kernels._within(hv, low, high_incl)
     okf = ok.reshape(-1)
     part = jnp.searchsorted(highs, hv.reshape(-1), side="left").astype(U32)
     part = jnp.where(okf, part, U32(n_parts))  # invalid -> own tail part
-    wordsf = jnp.where(
-        okf[:, None], canonV.reshape(m, w), SENTINEL_WORD
-    )
-    payf = jnp.where(okf, payload.reshape(-1) | (U32(1) << 17), U32(0))
-    posf = tuple(f.reshape(-1) for f in flat)
-    np_ = len(posf)
 
-    cols = jax.lax.sort(
-        (part,)
-        + tuple(wordsf[:, i] for i in range(w))
-        + (payf,)
-        + posf,
-        num_keys=1,
-    )
-    partS = cols[0]
-    wS = jnp.stack(cols[1 : 1 + w], axis=-1)
-    payS, posS = cols[1 + w], cols[2 + w :]
+    # sort ONLY (part, iota) — 2 columns instead of 1+w+1+np — then
+    # gather the record columns for the <= n_parts*cap surviving rows:
+    # measured 35 vs 78 ms per 2M-row batch on v5e
+    # (scripts/bench_partition.py); the stable sort keeps rows of one
+    # part in input order exactly as the wide sort did, so downstream
+    # bytes are unchanged. Block positions are the IN-BATCH offset
+    # (iota < B*P) — assemble_round adds the batch base back, which
+    # drops the second (carry) position column from the blocks at
+    # >4.2 Gbase scale: 20 -> 16 B/slot of resident-block HBM.
+    iota = jnp.arange(m, dtype=jnp.int32)
+    partS, idxS = jax.lax.sort((part, iota), num_keys=1)
     counts = jnp.sum(
         partS[None, :] == jnp.arange(n_parts, dtype=U32)[:, None],
         axis=1,
@@ -215,54 +210,62 @@ def build_and_partition(
     )
     starts = jnp.cumsum(counts) - counts
 
+    wordsf = canonV.reshape(m, w)
+    payf = payload.reshape(-1)
     # pad so every fixed-size slice below is in bounds (start <= m)
-    wS = jnp.concatenate(
-        [wS, jnp.full((part_cap, w), SENTINEL_WORD, U32)]
-    )
-    payS = jnp.concatenate([payS, jnp.zeros(part_cap, U32)])
-    posS = tuple(
-        jnp.concatenate([p, jnp.zeros(part_cap, U32)]) for p in posS
-    )
+    idxS = jnp.concatenate([idxS, jnp.zeros(part_cap, jnp.int32)])
     live_i = jnp.arange(part_cap, dtype=jnp.int32)
-    out_w, out_pay = [], []
-    out_pos = tuple([] for _ in range(np_))
+    out_w, out_pay, out_off = [], [], []
     for r in range(n_parts):
         live = live_i < counts[r]
-        sl_w = jax.lax.dynamic_slice(
-            wS, (starts[r], jnp.int32(0)), (part_cap, w)
+        sl = jax.lax.dynamic_slice(idxS, (starts[r],), (part_cap,))
+        out_w.append(
+            jnp.where(live[:, None], wordsf[sl], SENTINEL_WORD)
         )
-        out_w.append(jnp.where(live[:, None], sl_w, SENTINEL_WORD))
-        sl_pay = jax.lax.dynamic_slice(payS, (starts[r],), (part_cap,))
-        out_pay.append(jnp.where(live, sl_pay, U32(0)))
-        for c in range(np_):
-            sl_pos = jax.lax.dynamic_slice(
-                posS[c], (starts[r],), (part_cap,)
-            )
-            out_pos[c].append(jnp.where(live, sl_pos, U32(0)))
+        out_pay.append(
+            jnp.where(live, payf[sl] | (U32(1) << 17), U32(0))
+        )
+        out_off.append(jnp.where(live, sl.astype(U32), U32(0)))
     return (
         jnp.stack(out_w),
         jnp.stack(out_pay),
-        tuple(jnp.stack(o) for o in out_pos),
+        (jnp.stack(out_off),),
         counts,
     )
 
 
 @partial(jax.jit, static_argnames=("buf_slots",))
-def assemble_round(r, parts_w, parts_pay, parts_pos, *, buf_slots):
+def assemble_round(r, parts_w, parts_pay, parts_pos, base_st, *, buf_slots):
     """Slice round r's fixed-cap part blocks (stacked (nb, n_parts,
     cap, ...) from _partition_scan) into one sentinel-padded sort
-    buffer (a single program for all rounds)."""
+    buffer (a single program for all rounds).
+
+    Block positions are in-batch offsets (build_and_partition stores
+    iota < B*P); the global flat position is rebuilt here from base_st
+    (tuple of (nb,) u32 columns, wide = (hi, lo)) — the blocks
+    themselves never carry the second position column."""
+    nb = parts_w.shape[0]
+    cap = parts_w.shape[2]
     ws = jax.lax.dynamic_index_in_dim(
         parts_w, r, axis=1, keepdims=False
     ).reshape(-1, parts_w.shape[-1])
     pays = jax.lax.dynamic_index_in_dim(
         parts_pay, r, axis=1, keepdims=False
     ).reshape(-1)
-    poss = tuple(
-        jax.lax.dynamic_index_in_dim(p, r, axis=1, keepdims=False)
-        .reshape(-1)
-        for p in parts_pos
-    )
+    off = jax.lax.dynamic_index_in_dim(
+        parts_pos[0], r, axis=1, keepdims=False
+    )  # (nb, cap)
+    if len(base_st) == 1:
+        poss = ((base_st[0][:, None] + off).reshape(-1),)
+    else:
+        hi, lo_b = base_st
+        lo = lo_b[:, None] + off
+        carry = (lo < lo_b[:, None]).astype(U32)  # u32 wraparound
+        poss = (
+            (hi[:, None] + carry).reshape(-1),
+            lo.reshape(-1),
+        )
+    del nb, cap
     pad = buf_slots - ws.shape[0]
     if pad:
         ws = jnp.concatenate(
@@ -1245,7 +1248,10 @@ def build_junctions_sorted(
     # below re-builds records every round (the analogue of the
     # reference re-streaming FASTA per round, vertexenumerator.h:228) —
     # kept for inputs whose records exceed the resident byte budget.
-    rec_bytes = 4 * (cfg.w + 2 + (1 if wide else 0))
+    # blocks store (w words, payload, in-batch offset) per slot —
+    # positions are rebuilt from the batch base at assemble time, so
+    # wide runs don't pay a second position column in resident HBM
+    rec_bytes = 4 * (cfg.w + 2)
     resident = (
         n_rounds > 1
         and int(n_slots * config.round_slack * rec_bytes)
@@ -1253,9 +1259,11 @@ def build_junctions_sorted(
         and os.environ.get("TWOPACO_RESIDENT", "1") != "0"
     )
     stacked = None  # stacked batches for the scanned passes
+    base_st = None  # batch bases: assemble_round rebuilds positions
     if n_rounds > 1:
         t0 = time.time()
         stacked = _stack_batches(dev_batches, cfg.P, wide)
+        base_st = stacked[2]
         stats.timings["hist_stack"] = time.time() - t0
         if os.environ.get("TWOPACO_UNIFORM_SPLIT", "1") != "0":
             # Buzhash values are near-uniform, so a uniform split of the
@@ -1450,7 +1458,7 @@ def build_junctions_sorted(
             pidx = r if resident else part_of_round[r]
             buf_w, buf_pay, buf_pos = assemble_round(
                 jnp.int32(pidx), parts_w, parts_pay, parts_pos,
-                buf_slots=buf_slots,
+                base_st, buf_slots=buf_slots,
             )
         elif len(intervals) == 1:
             buf_w, buf_pay, buf_pos = _stream_single_round(
