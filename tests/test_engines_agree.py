@@ -17,7 +17,18 @@ def test_engines_byte_identical(tmp_path, rounds):
     ]
     sequences = [(i, dna.encode(s)) for i, s in enumerate(seqs)]
     outs = {}
-    for engine in ("sort", "bloom"):
+    # the Bloom engine runs in all three filter layouts, including the
+    # vertex-blocked one (one word gather tests all 8 extensions); the
+    # candidate masks may legitimately differ per layout, but the exact
+    # verify makes every final output byte-identical to the sort engine
+    variants = [
+        ("sort", {}),
+        ("bloom", {"layout": "byte"}),
+        ("bloom", {"layout": "bit"}),
+        ("bloom", {"layout": "block"}),
+        ("bloom", {"layout": "block", "hash_functions": 5}),
+    ]
+    for i, (engine, extra) in enumerate(variants):
         cfg = PipelineConfig(
             k=7,
             filter_bits=20,
@@ -25,9 +36,11 @@ def test_engines_byte_identical(tmp_path, rounds):
             engine=engine,
             positions_per_row=256,
             rows_per_batch=4,
+            **extra,
         )
-        out = str(tmp_path / f"{engine}.bin")
+        out = str(tmp_path / f"v{i}.bin")
         enum = build_junctions(None, cfg, out_path=out, sequences=sequences)
-        outs[engine] = (open(out, "rb").read(), enum.vertices_count)
-    assert outs["sort"][1] == outs["bloom"][1]
-    assert outs["sort"][0] == outs["bloom"][0]
+        outs[i] = (open(out, "rb").read(), enum.vertices_count)
+    for i in range(1, len(variants)):
+        assert outs[0][1] == outs[i][1], variants[i]
+        assert outs[0][0] == outs[i][0], variants[i]

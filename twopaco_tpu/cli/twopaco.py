@@ -74,8 +74,12 @@ def make_parser() -> argparse.ArgumentParser:
         "(sharded filter gate + distributed sort-join verify/emit)",
     )
     p.add_argument(
-        "--tpu-layout", choices=["auto", "byte", "bit"], default="auto",
-        help="Bloom filter memory layout",
+        "--tpu-layout",
+        choices=["auto", "byte", "bit", "block"],
+        default="auto",
+        help="Bloom filter memory layout (block = vertex-blocked: one "
+        "word gather tests all 8 edge extensions of a position; "
+        "single-chip bloom engine only)",
     )
     p.add_argument(
         "--tpu-positions", type=int, default=None,

@@ -59,7 +59,9 @@ def choose_layout(f: int, byte_budget_bytes: int = 1 << 31) -> str:
 def make_filter(f: int, layout: str) -> jnp.ndarray:
     if layout == "byte":
         return jnp.zeros(1 << f, dtype=jnp.uint8)
-    elif layout == "bit":
+    elif layout in ("bit", "block"):
+        # block: same 2^(f-5) u32 words; slots are (vertex word, edge
+        # bit) pairs instead of a flat f-bit index
         return jnp.zeros(1 << max(f - 5, 0), dtype=U32)
     raise ValueError(layout)
 
@@ -84,6 +86,17 @@ def _index_dtype(n: int):
 def _fill_bits(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     word = (idx >> 5).astype(jnp.int32)
     bit = (idx & 31).astype(jnp.int32)
+    return _fill_word_bits(filt, word, bit, valid)
+
+
+def _fill_word_bits(
+    filt: jnp.ndarray, word: jnp.ndarray, bit: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Race-free OR of single bits into u32 words: sort the (word, bit)
+    pairs, drop duplicates, segment-sum distinct powers of two, scatter
+    the merged words. Shared by the 'bit' layout (word/bit derived from
+    a flat slot index) and the 'block' layout (word = vertex hash, bit =
+    edge hash — see fill_blocks)."""
     # invalid entries sort to the end and scatter out of bounds (dropped);
     # filt.shape[0] <= 2^30 (BIT_LAYOUT_MAX_F) so the sentinel is always
     # a valid int32 strictly above every real word index
@@ -95,7 +108,7 @@ def _fill_bits(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.n
     uniq = (word != prev_word) | (bit != prev_bit)
     new_word = word != prev_word
     seg = jnp.cumsum(new_word.astype(jnp.int32)) - 1
-    m = idx.shape[0]
+    m = word.shape[0]
     masks = jnp.where(uniq, U32(1) << bit.astype(U32), U32(0))
     or_mask = jax.ops.segment_sum(masks, seg, num_segments=m)  # distinct bits -> OR
     seg_word = jax.ops.segment_max(word, seg, num_segments=m)
@@ -109,6 +122,69 @@ def _fill_bits(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.n
     bad = (seg_word >= n) | (seg_word < 0)
     seg_word = jnp.where(bad, n, seg_word)
     return filt.at[seg_word].set(merged, mode="drop")
+
+
+def fill_blocks(
+    filt: jnp.ndarray,
+    word: jnp.ndarray,
+    bit: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Vertex-blocked fill: set `bit` (..., q) in u32 `word` (...) where
+    valid (...). word = f-5-bit slice of the strand-symmetric VERTEX
+    hash of an edge endpoint; bit = in-word positions derived from the
+    strand-symmetric EDGE hash. Because the word is keyed by the
+    endpoint vertex, the mark pass tests all 8 edge extensions of a
+    position with ONE word gather (probe_blocks) instead of 8 serial
+    f-bit gathers — the XLA gather is ~serial per element on TPU, so
+    this is the mark pass's 8x. Every real edge writes both in-range
+    endpoints' words, so any probe the reference design guarantees to
+    hit still hits (no false negatives; see kernels.fill_indices_block).
+    """
+    q = bit.shape[-1]
+    word_q = jnp.broadcast_to(word[..., None], word.shape + (q,))
+    valid_q = jnp.broadcast_to(valid[..., None], valid.shape + (q,))
+    return _fill_word_bits(
+        filt,
+        word_q.reshape(-1).astype(jnp.int32),
+        bit.reshape(-1).astype(jnp.int32),
+        valid_q.reshape(-1),
+    )
+
+
+def probe_blocks(
+    filt: jnp.ndarray, word: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather word (...) once, test mask (..., S): True where ALL of a
+    slot's bits are present. mask combines the q in-word bits of one
+    edge (block_mask)."""
+    wv = filt[word.astype(jnp.int32)]
+    return (wv[..., None] & mask) == mask
+
+
+def block_word(hv: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Word index of a vertex: low f-5 bits of the symmetric hash (the
+    filter has 2^(f-5) u32 words = 2^f bloom bits, same HBM as 'bit')."""
+    return (hv & U32((1 << max(f - 5, 0)) - 1)).astype(jnp.int32)
+
+
+def block_bits(e1: jnp.ndarray, e2: jnp.ndarray, q: int) -> jnp.ndarray:
+    """q distinct in-word bit positions from the symmetric edge hash:
+    (e1 + j*(e2|1)) mod 32 — the odd multiplier makes j*(e2|1) distinct
+    mod 32 for j < 32, so a slot always tests exactly q bits."""
+    h2 = e2 | U32(1)
+    return jnp.stack(
+        [((e1 + U32(j) * h2) & U32(31)) for j in range(q)], axis=-1
+    )
+
+
+def block_mask(e1: jnp.ndarray, e2: jnp.ndarray, q: int) -> jnp.ndarray:
+    """OR of the q bit positions as a u32 mask (probe side)."""
+    h2 = e2 | U32(1)
+    m = jnp.zeros_like(e1)
+    for j in range(q):
+        m = m | (U32(1) << ((e1 + U32(j) * h2) & U32(31)))
+    return m
 
 
 def probe(filt: jnp.ndarray, idx: jnp.ndarray, layout: str) -> jnp.ndarray:

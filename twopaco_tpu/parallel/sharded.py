@@ -64,6 +64,11 @@ class ShardedConfig:
     def __post_init__(self):
         assert (1 << self.base.f) >= 32 * self.n_devices
         assert self.base.B % self.n_devices == 0
+        if self.base.layout == "block":
+            raise ValueError(
+                "the vertex-blocked layout is single-chip only; use "
+                "--tpu-layout bit (or byte) with dist-bloom"
+            )
 
     @property
     def local_slots(self) -> int:
