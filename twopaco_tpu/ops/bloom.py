@@ -60,8 +60,10 @@ def make_filter(f: int, layout: str) -> jnp.ndarray:
     if layout == "byte":
         return jnp.zeros(1 << f, dtype=jnp.uint8)
     elif layout in ("bit", "block"):
-        # block: same 2^(f-5) u32 words; slots are (vertex word, edge
-        # bit) pairs instead of a flat f-bit index
+        # block: same 2^(f-5) u32 words, organized as 2^(f-8) 256-bit
+        # blocks keyed by vertex hash (needs at least one full block)
+        if layout == "block" and f < 8:
+            raise ValueError("block layout needs f >= 8")
         return jnp.zeros(1 << max(f - 5, 0), dtype=U32)
     raise ValueError(layout)
 
@@ -124,67 +126,80 @@ def _fill_word_bits(
     return filt.at[seg_word].set(merged, mode="drop")
 
 
+# vertex-blocked layout: 256-bit blocks of 8 consecutive u32. A block
+# must be wide enough that one vertex's incident-edge bits (deg*q,
+# deg ~ 2-8) stay a small fraction of it: a 32-bit block measured 33%
+# candidate-mark FPR on the 64 Mbase bench (deg*q/32 load), 256 bits
+# put the load back at the ~1% of the flat layouts. The 32-byte block
+# gather costs the same as a 4-byte one at HBM access granularity.
+BLOCK_WORDS = 8
+BLOCK_BITS = 32 * BLOCK_WORDS
+
+
 def fill_blocks(
     filt: jnp.ndarray,
-    word: jnp.ndarray,
+    block: jnp.ndarray,
     bit: jnp.ndarray,
     valid: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Vertex-blocked fill: set `bit` (..., q) in u32 `word` (...) where
-    valid (...). word = f-5-bit slice of the strand-symmetric VERTEX
-    hash of an edge endpoint; bit = in-word positions derived from the
-    strand-symmetric EDGE hash. Because the word is keyed by the
-    endpoint vertex, the mark pass tests all 8 edge extensions of a
-    position with ONE word gather (probe_blocks) instead of 8 serial
-    f-bit gathers — the XLA gather is ~serial per element on TPU, so
-    this is the mark pass's 8x. Every real edge writes both in-range
-    endpoints' words, so any probe the reference design guarantees to
-    hit still hits (no false negatives; see kernels.fill_indices_block).
-    """
+    """Vertex-blocked fill: set `bit` (..., q) in [0, 256) of 256-bit
+    `block` (...) where valid (...). block = f-8-bit slice of the
+    strand-symmetric VERTEX hash of an edge endpoint; bit = in-block
+    positions derived from the strand-symmetric EDGE hash. Because the
+    block is keyed by the endpoint vertex, the mark pass tests all 8
+    edge extensions of a position with ONE contiguous 32-byte gather
+    (probe_blocks) instead of 8*q serial f-bit gathers — XLA gathers
+    are ~serial per element on TPU, so this is the mark pass's 8x.
+    Every real edge writes both in-range endpoints' blocks, so any
+    probe the reference design guarantees to hit still hits (no false
+    negatives; see kernels.fill_indices_block)."""
     q = bit.shape[-1]
-    word_q = jnp.broadcast_to(word[..., None], word.shape + (q,))
+    word = block[..., None] * jnp.int32(BLOCK_WORDS) + (
+        bit.astype(jnp.int32) >> 5
+    )
     valid_q = jnp.broadcast_to(valid[..., None], valid.shape + (q,))
     return _fill_word_bits(
         filt,
-        word_q.reshape(-1).astype(jnp.int32),
-        bit.reshape(-1).astype(jnp.int32),
+        word.reshape(-1),
+        (bit.astype(jnp.int32) & 31).reshape(-1),
         valid_q.reshape(-1),
     )
 
 
 def probe_blocks(
-    filt: jnp.ndarray, word: jnp.ndarray, mask: jnp.ndarray
+    filt: jnp.ndarray, block: jnp.ndarray, bits: jnp.ndarray
 ) -> jnp.ndarray:
-    """Gather word (...) once, test mask (..., S): True where ALL of a
-    slot's bits are present. mask combines the q in-word bits of one
-    edge (block_mask)."""
-    wv = filt[word.astype(jnp.int32)]
-    return (wv[..., None] & mask) == mask
+    """Gather each position's 8-word block once, test bits (..., S, q):
+    True where ALL q bits of a slot are present. The in-block word
+    select is a one-hot sum (VPU compares are free next to gathers)."""
+    g = filt.reshape(-1, BLOCK_WORDS)[block.astype(jnp.int32)]  # (..., 8)
+    w = (bits >> 5).astype(jnp.int32)  # (..., S, q)
+    b = (bits & U32(31)).astype(U32)
+    word = jnp.zeros(w.shape, U32)
+    for k in range(BLOCK_WORDS):
+        word = word | jnp.where(
+            w == k, g[..., None, None, k], U32(0)
+        )
+    hit = ((word >> b) & U32(1)) > 0
+    return jnp.all(hit, axis=-1)  # (..., S)
 
 
-def block_word(hv: jnp.ndarray, f: int) -> jnp.ndarray:
-    """Word index of a vertex: low f-5 bits of the symmetric hash (the
-    filter has 2^(f-5) u32 words = 2^f bloom bits, same HBM as 'bit')."""
-    return (hv & U32((1 << max(f - 5, 0)) - 1)).astype(jnp.int32)
+def block_index(hv: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Block index of a vertex: low f-8 bits of the symmetric hash (the
+    filter has 2^(f-8) blocks = 2^f bloom bits, same HBM as 'bit')."""
+    return (hv & U32((1 << max(f - 8, 0)) - 1)).astype(jnp.int32)
 
 
 def block_bits(e1: jnp.ndarray, e2: jnp.ndarray, q: int) -> jnp.ndarray:
-    """q distinct in-word bit positions from the symmetric edge hash:
-    (e1 + j*(e2|1)) mod 32 — the odd multiplier makes j*(e2|1) distinct
-    mod 32 for j < 32, so a slot always tests exactly q bits."""
+    """q distinct in-block bit positions from the symmetric edge hash:
+    (e1 + j*(e2|1)) mod 256 — the odd multiplier makes j*(e2|1)
+    distinct mod 256 for j < 256, so a slot always tests exactly q
+    bits."""
     h2 = e2 | U32(1)
     return jnp.stack(
-        [((e1 + U32(j) * h2) & U32(31)) for j in range(q)], axis=-1
+        [((e1 + U32(j) * h2) & U32(BLOCK_BITS - 1)) for j in range(q)],
+        axis=-1,
     )
-
-
-def block_mask(e1: jnp.ndarray, e2: jnp.ndarray, q: int) -> jnp.ndarray:
-    """OR of the q bit positions as a u32 mask (probe side)."""
-    h2 = e2 | U32(1)
-    m = jnp.zeros_like(e1)
-    for j in range(q):
-        m = m | (U32(1) << ((e1 + U32(j) * h2) & U32(31)))
-    return m
 
 
 def probe(filt: jnp.ndarray, idx: jnp.ndarray, layout: str) -> jnp.ndarray:

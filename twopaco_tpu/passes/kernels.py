@@ -180,13 +180,14 @@ def fill_indices_block(codes, valid, low, high_incl, cfg: PassConfig):
     """(word, bit, valid) insert tuples for the vertex-blocked layout.
 
     Block design (this framework's answer to the reference's dominant
-    random-probe loop, vertexenumerator.h:638-654): the filter word is
-    keyed by the strand-symmetric VERTEX hash, the in-word bits by the
-    strand-symmetric EDGE hash. Every real edge is written into BOTH
-    in-range endpoints' words, dummy edges (non-ACGT neighbors,
-    :1048-1064 semantics) into the real endpoint's word. Probing a
-    vertex V for any of its 8 extensions then needs only word(V) —
-    fetched ONCE per position by pass2 (8x fewer serial gathers).
+    random-probe loop, vertexenumerator.h:638-654): the 256-bit filter
+    block is keyed by the strand-symmetric VERTEX hash, the q in-block
+    bits by the strand-symmetric EDGE hash. Every real edge is written
+    into BOTH in-range endpoints' blocks, dummy edges (non-ACGT
+    neighbors, :1048-1064 semantics) into the real endpoint's block.
+    Probing a vertex V for any of its 8 extensions then needs only
+    block(V) — one contiguous 32-byte gather per position in pass2
+    (8*q fewer serial gathers).
 
     No-false-negative argument (candidate masks must be a superset of
     true junctions): a mark probe of extension c at vertex value V must
@@ -233,8 +234,8 @@ def fill_indices_block(codes, valid, low, high_incl, cfg: PassConfig):
     b_in_a = ebits(lambda t, hf, hr: bz.in_edge_sym(hf, hr, t, 0, k))
     b_in_t = ebits(lambda t, hf, hr: bz.in_edge_sym(hf, hr, t, 3, k))
 
-    wV = bloom.block_word(hv, cfg.f)
-    wVn = bloom.block_word(hvn, cfg.f)
+    wV = bloom.block_index(hv, cfg.f)
+    wVn = bloom.block_index(hvn, cfg.f)
     word = jnp.stack([wV, wVn, wV, wV, wV], axis=2)  # (B, P, 5)
     bits = jnp.stack(
         [b_out_c0, b_out_c0, b_out_t, b_in_a, b_in_t], axis=2
@@ -378,7 +379,7 @@ def mark_indices_block(codes, valid, low, high_incl, cfg: PassConfig):
     slots = []
     for c in range(4):
         slots.append(
-            bloom.block_mask(
+            bloom.block_bits(
                 bz.in_edge_sym(hf1, hr1, t1, c, k),
                 bz.in_edge_sym(hf2, hr2, t2, c, k),
                 cfg.q,
@@ -386,25 +387,25 @@ def mark_indices_block(codes, valid, low, high_incl, cfg: PassConfig):
         )
     for c in range(4):
         slots.append(
-            bloom.block_mask(
+            bloom.block_bits(
                 bz.out_edge_sym(hf1, hr1, t1, c, k),
                 bz.out_edge_sym(hf2, hr2, t2, c, k),
                 cfg.q,
             )
         )
-    word = bloom.block_word(hv, cfg.f)
-    return word, jnp.stack(slots, axis=2), base, prev, nxt
+    block = bloom.block_index(hv, cfg.f)
+    return block, jnp.stack(slots, axis=2), base, prev, nxt
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def pass2_mark(filt, codes, valid, low, high_incl, *, cfg: PassConfig):
     """Single-device mark: returns (packed mask (B, P//8), count)."""
     if cfg.layout == "block":
-        word, masks, base, prev, nxt = mark_indices_block(
+        block, bits, base, prev, nxt = mark_indices_block(
             codes, valid, low, high_incl, cfg
         )
-        word, masks = jax.lax.optimization_barrier((word, masks))
-        hits = bloom.probe_blocks(filt, word, masks)
+        block, bits = jax.lax.optimization_barrier((block, bits))
+        hits = bloom.probe_blocks(filt, block, bits)
         mask = mark_decide(hits, base, prev, nxt)
         return pack_mask(mask), jnp.sum(mask, dtype=jnp.int64)
     idx, base, prev, nxt = mark_indices(codes, valid, low, high_incl, cfg)
