@@ -174,8 +174,23 @@ def probe_blocks(
     select is a one-hot sum (VPU compares are free next to gathers).
     Slots/bits unroll as Python loops over (...)-shaped temporaries —
     a single (..., S, q, 8) broadcast formulation compiled to a 17 GB
-    HBM footprint at the bench shapes (measured remote-compile OOM)."""
-    g = filt.reshape(-1, BLOCK_WORDS)[block.astype(jnp.int32)]  # (..., 8)
+    HBM footprint at the bench shapes (measured remote-compile OOM).
+    The block gather slices 8 consecutive words out of the FLAT filter
+    (lax.gather, slice_sizes=(8,)): reshaping the filter to (-1, 8)
+    first makes XLA materialize it in a T(8,128)-tiled minor-dim-8
+    layout — 16x padding, 16 GB HBM for a 1 GB filter (measured)."""
+    start = (block.astype(jnp.int32) * jnp.int32(BLOCK_WORDS)).reshape(-1, 1)
+    g = jax.lax.gather(
+        filt,
+        start,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(BLOCK_WORDS,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(block.shape + (BLOCK_WORDS,))  # (..., 8)
     outs = []
     for s in range(bits.shape[-2]):
         hit = None
