@@ -57,3 +57,24 @@ def test_bit_layout_matches_byte_layout():
         np.asarray(bloom.probe(fb, allidx, "byte")),
         np.asarray(bloom.probe(fbit, allidx, "bit")),
     )
+
+
+def test_byte_layout_f31_traces():
+    """f=31 (BYTE_LAYOUT_MAX_F) is exactly 2^31 slots: int32 indexing
+    overflows at TRACE time (jax must hold the size as an index-dtype
+    constant), which broke `-f 31` on the byte layout. Trace-only via
+    eval_shape — no 2 GB allocation."""
+    import jax
+
+    f = 31
+    filt = jax.ShapeDtypeStruct((1 << f,), jnp.uint8)
+    idx = jax.ShapeDtypeStruct((1024,), jnp.uint32)
+    valid = jax.ShapeDtypeStruct((1024,), jnp.bool_)
+    out = jax.eval_shape(
+        lambda ft, ix, v: bloom.fill(ft, ix, v, "byte"), filt, idx, valid
+    )
+    assert out.shape == (1 << f,)
+    hits = jax.eval_shape(
+        lambda ft, ix: bloom.probe(ft, ix, "byte"), filt, idx
+    )
+    assert hits.shape == (1024,)

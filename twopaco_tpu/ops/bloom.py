@@ -81,8 +81,16 @@ def fill(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray, layout: str) -
 
 def _index_dtype(n: int):
     """int32 whenever the array is addressable with it: 64-bit ints are
-    software-emulated on TPU and bloat both compile and run time."""
-    return jnp.int32 if n <= (1 << 31) else jnp.int64
+    software-emulated on TPU and bloat both compile and run time.
+    At exactly n = 2^31 (the f=31 byte layout) jax's index
+    normalization must hold the SIZE as a constant of the index dtype,
+    so int32 overflows at trace time — slot indices are non-negative,
+    so uint32 covers up to 2^32 slots without int64 emulation."""
+    if n < (1 << 31):
+        return jnp.int32
+    if n <= (1 << 32):
+        return jnp.uint32
+    return jnp.int64
 
 
 def _fill_bits(filt: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -175,22 +183,20 @@ def probe_blocks(
     Slots/bits unroll as Python loops over (...)-shaped temporaries —
     a single (..., S, q, 8) broadcast formulation compiled to a 17 GB
     HBM footprint at the bench shapes (measured remote-compile OOM).
-    The block gather slices 8 consecutive words out of the FLAT filter
-    (lax.gather, slice_sizes=(8,)): reshaping the filter to (-1, 8)
-    first makes XLA materialize it in a T(8,128)-tiled minor-dim-8
-    layout — 16x padding, 16 GB HBM for a 1 GB filter (measured)."""
-    start = (block.astype(jnp.int32) * jnp.int32(BLOCK_WORDS)).reshape(-1, 1)
-    g = jax.lax.gather(
-        filt,
-        start,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,),
-            collapsed_slice_dims=(),
-            start_index_map=(0,),
-        ),
-        slice_sizes=(BLOCK_WORDS,),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(block.shape + (BLOCK_WORDS,))  # (..., 8)
+    The block gather is 8 flat word gathers at consecutive addresses
+    (base+0..base+7, one HBM line), with the index arrays materialized
+    behind an optimization_barrier first. Two measured dead ends at the
+    f=33 bench shapes: reshaping the filter to (-1, 8) makes XLA
+    materialize it T(8,128)-tiled minor-dim-8 — 16x padding, 16 GB HBM
+    for a 1 GB filter; a single lax.gather with slice_sizes=(8,) runs
+    ~2.6 us/position (~170 s/mark pass, q-independent — the fused
+    index math serializes the gather, same pathology as pass2_mark's
+    bit path)."""
+    base = block.astype(jnp.int32) * jnp.int32(BLOCK_WORDS)
+    idxs = jax.lax.optimization_barrier(
+        tuple(base + jnp.int32(kk) for kk in range(BLOCK_WORDS))
+    )
+    gw = [filt[i] for i in idxs]  # 8 flat (...)-shaped gathers
     outs = []
     for s in range(bits.shape[-2]):
         hit = None
@@ -200,7 +206,7 @@ def probe_blocks(
             b = bj & U32(31)
             word = jnp.zeros(w.shape, U32)
             for k in range(BLOCK_WORDS):
-                word = word | jnp.where(w == k, g[..., k], U32(0))
+                word = word | jnp.where(w == k, gw[k], U32(0))
             h = ((word >> b) & U32(1)) > 0
             hit = h if hit is None else (hit & h)
         outs.append(hit)
