@@ -27,7 +27,10 @@ import jax.numpy as jnp
 
 U32 = jnp.uint32
 
-BYTE_LAYOUT_MAX_F = 31  # 2 GiB of uint8 slots
+BYTE_LAYOUT_MAX_F = 30  # 1 GiB of uint8 slots: TPU XLA gathers cannot
+# address 2^31 elements (the X64-element-type rewrite rejects gathers
+# "whose indices exceed 32-bits" — remote compile error, measured at
+# f=31), so the byte layout stops where int32 element indexing does
 BIT_LAYOUT_MAX_F = 35  # 4 GiB of bits; word index (2^30) must fit int32
 # (f=36 would need 2^31 words — beyond int32 indexing and the fill
 # sentinel scheme; shard across devices instead)
