@@ -87,8 +87,9 @@ def _remaining() -> float:
 
 
 def _watchdog() -> None:
-    if _remaining() > 0:
-        time.sleep(_remaining())
+    rem = _remaining()
+    if rem > 0:
+        time.sleep(rem)
     with _best_lock:
         line = _best_line or {
             "metric": "junction enumeration throughput",
@@ -293,9 +294,19 @@ def main() -> None:
     else:
         vs_base = lambda bps: None  # noqa: E731
 
+    def phase_safe(name, *args):
+        """A phase that dies (tunnel RuntimeError mid-run, OOM on a
+        fresh shape tier) must not take the already-banked best-so-far
+        line down with the process — the capture contract says a
+        completed run's line always survives."""
+        try:
+            _run_phase(name, *args)
+        except Exception as e:  # noqa: BLE001
+            print(f"phase {name} failed: {e!r}", file=sys.stderr, flush=True)
+
     # Phase 0 — insurance: tiny input, small always-warm shape tier.
     # Completes (incl. fresh compiles) in ~2 min on a cold cache.
-    _run_phase(
+    phase_safe(
         "insurance-2Mbase-tier22", 2, 1_000_000, 2048, 256, 1 << 22,
         (SEED_BASE,), vs_base, log,
     )
@@ -309,7 +320,7 @@ def main() -> None:
     # Phase 1 — the BENCH_r03 config: full dataset, 2^22 sort tier
     # (shapes kept warm by regular CLI/test traffic; 13.03 Mb/s in r03)
     if _remaining() > 120:
-        _run_phase(
+        phase_safe(
             "64Mbase-tier22", 8, 8_000_000, 16384, 128, 1 << 22,
             (SEED_BASE + 1, SEED_BASE + 2, SEED_BASE + 3), vs_base, log,
         )
@@ -317,7 +328,7 @@ def main() -> None:
     # Phase 2 — the 2^26 one-big-sort tier: fastest warm, multi-minute
     # fresh compiles cold — attempted last, only with margin to spare
     if _remaining() > 180:
-        _run_phase(
+        phase_safe(
             "64Mbase-tier26", 8, 8_000_000, 16384, 128, 1 << 26,
             tuple(SEED_BASE + i for i in range(4, 9)), vs_base, log,
         )
@@ -326,6 +337,17 @@ def main() -> None:
         final = _best_line
     if final is not None:
         _emit(final)
+    else:  # every phase failed before its warmup completed
+        _emit(
+            {
+                "metric": "junction enumeration throughput",
+                "value": 0,
+                "unit": "Mbases/s/chip",
+                "vs_baseline": None,
+                "error": "all bench phases raised before any run "
+                "completed (see stderr)",
+            }
+        )
 
 
 if __name__ == "__main__":

@@ -85,7 +85,17 @@ int tp_encode_fasta_into(const char* path, uint8_t* codes, int64_t cap,
   bool in_any_record = false;
   for (;;) {
     size_t got = fread(buf.data(), 1, CH, f);
-    if (got == 0) break;
+    if (got == 0) {
+      // distinguish EOF from an I/O error: a transient read failure
+      // must not silently truncate the genome (byte-parity invariant)
+      if (ferror(f)) {
+        fclose(f);
+        snprintf(out->error, sizeof(out->error),
+                 "Short read (I/O error) in %s", path);
+        return -2;
+      }
+      break;
+    }
     size_t i = 0;
     if (first) {
       if (buf[0] != '>') {

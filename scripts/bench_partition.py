@@ -26,12 +26,12 @@ SENTINEL = U32(0xFFFFFFFF)
 
 
 def make_inputs(m, w, n_parts, key):
-    ks = jax.random.split(key, 3)
+    ks = jax.random.split(key, 4)
     part = jax.random.randint(ks[0], (m,), 0, n_parts + 1).astype(U32)
     # ~ n_parts/(n_parts+1) live, like one group of a grouped run
     words = jax.random.bits(ks[1], (m, w), dtype=U32)
     pay = jax.random.bits(ks[2], (m,), dtype=U32)
-    pos = jax.random.bits(ks[2], (m,), dtype=U32)
+    pos = jax.random.bits(ks[3], (m,), dtype=U32)
     return part, words, pay, pos
 
 

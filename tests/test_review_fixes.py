@@ -158,3 +158,23 @@ def test_sortshard_abundance_applied():
     )
     assert int(overflow) == 0
     assert int(n_junc) == 0
+
+
+def test_explicit_layout_capacity_checked():
+    """An explicitly-set --tpu-layout must hit the same actionable
+    capacity error as 'auto' (not a trace-time OverflowError from the
+    int32 fill sentinel): bit/block cap at 2^35 slots per device,
+    byte at 2^30."""
+    from twopaco_tpu.passes import PipelineConfig
+
+    with pytest.raises(ValueError, match="dist-bloom"):
+        PipelineConfig(k=25, filter_bits=36, layout="bit").resolve_layout()
+    with pytest.raises(ValueError, match="dist-bloom"):
+        PipelineConfig(k=25, filter_bits=31, layout="byte").resolve_layout()
+    # sharding brings the per-device slice back under the cap
+    assert (
+        PipelineConfig(k=25, filter_bits=38, layout="bit").resolve_layout(
+            shard_devices=8
+        )
+        == "bit"
+    )

@@ -59,6 +59,21 @@ def choose_layout(f: int, byte_budget_bytes: int = 1 << 31) -> str:
     return choose_layout_slots(1 << f, byte_budget_bytes)
 
 
+def check_layout_slots(slots: int, layout: str) -> None:
+    """Validate an EXPLICITLY-chosen layout against its capacity so the
+    user gets the actionable message, not a trace-time OverflowError
+    from the int32 fill sentinel deep in _fill_word_bits."""
+    max_f = BYTE_LAYOUT_MAX_F if layout == "byte" else BIT_LAYOUT_MAX_F
+    if slots > (1 << max_f):
+        raise ValueError(
+            f"'{layout}' Bloom layout supports at most 2^{max_f} slots "
+            f"per device (got {slots}). Use --tpu-engine dist-bloom to "
+            "shard the filter across a device mesh, lower "
+            "-f/--filtermemory, or use the default sort engine (no "
+            "filter, any -f)."
+        )
+
+
 def make_filter(f: int, layout: str) -> jnp.ndarray:
     if layout == "byte":
         return jnp.zeros(1 << f, dtype=jnp.uint8)

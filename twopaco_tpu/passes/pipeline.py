@@ -80,9 +80,10 @@ class PipelineConfig:
         shard_devices > 1 = the dist-bloom engine: each device owns
         ceil(2^f / D) slots, so e.g. -f 38 fits the bit layout on an
         8-device mesh even though it exceeds the single-chip cap."""
-        if self.layout != "auto":
-            return self.layout
         slots = -(-(1 << self.filter_bits) // shard_devices)
+        if self.layout != "auto":
+            bloom.check_layout_slots(slots, self.layout)
+            return self.layout
         return bloom.choose_layout_slots(slots)
 
     def pass_config(
