@@ -118,3 +118,37 @@ def test_config_change_invalidates(tmp_path):
     got = np.zeros(len(seqs[0]), bool)
     got[pos] = True
     np.testing.assert_array_equal(got, want[0])
+
+
+def test_resident_resume_skips_partition(tmp_path):
+    """A COMPLETE matching checkpoint restores every resident round
+    without re-running the full-input partition scan (the dominant
+    device phase); a partial checkpoint must still partition."""
+    from twopaco_tpu.passes.sortpipe import build_junctions_sorted
+
+    rng = np.random.default_rng(83)
+    base = oracle.generate_sequence(rng, 2000)
+    seqs = [(0, dna.encode(base)),
+            (1, dna.encode(oracle.mutate_sequence(rng, base, 0.04, 0.1)))]
+    cfg = PipelineConfig(k=9, rounds=3, positions_per_row=128,
+                         rows_per_batch=4)
+    ck = str(tmp_path / "ck")
+    out1, out2, out3 = (str(tmp_path / n) for n in ("a.dbg", "b.dbg",
+                                                    "c.dbg"))
+    build_junctions_sorted(None, cfg, out_path=out1, sequences=seqs,
+                           checkpoint_dir=ck)
+
+    logs = []
+    build_junctions_sorted(None, cfg, out_path=out2, sequences=seqs,
+                           checkpoint_dir=ck, log=logs.append)
+    assert any("skipping partition" in l for l in logs), logs
+    assert sum("restored from checkpoint" in l for l in logs) == 3
+    assert open(out1, "rb").read() == open(out2, "rb").read()
+
+    # partial checkpoint: fast path must NOT trigger; output identical
+    os.remove(os.path.join(ck, "round_1.npz"))
+    logs2 = []
+    build_junctions_sorted(None, cfg, out_path=out3, sequences=seqs,
+                           checkpoint_dir=ck, log=logs2.append)
+    assert not any("skipping partition" in l for l in logs2)
+    assert open(out1, "rb").read() == open(out3, "rb").read()

@@ -447,115 +447,6 @@ def _bucket_slots(m: int) -> int:
     return 1 << max(14, (m - 1).bit_length())
 
 
-@jax.jit
-def _judge_fwd_chunk(sw, pay, prev_row, carries):
-    """One forward judge chunk: group boundaries + segmented prefix
-    scans (extension bitmask OR, N-counter saturating add, group size).
-    prev_row = last words of the previous chunk."""
-    from twopaco_tpu.ops import segments as sg
-
-    prev_w = jnp.concatenate([prev_row[None, :], sw[:-1]])
-    ng = jnp.any(sw != prev_w, axis=-1)
-    in_code = pay & U32(0xFF)
-    out_code = (pay >> 8) & U32(0xFF)
-    ext_bits = jnp.where(in_code < 4, U32(1) << in_code, U32(0)) | jnp.where(
-        out_code < 4, U32(1) << (out_code + 8), U32(0)
-    )
-    n_counts = (in_code == 4).astype(U32) | (
-        (out_code == 4).astype(U32) << 16
-    )
-    ones = jnp.ones(sw.shape[0], U32)
-    p, carries_out = sg._fwd_chunk(
-        (ext_bits, n_counts, ones), ng, carries,
-        ops=("or", "satadd_u16x2", "add"),
-    )
-    return ng, sw[-1], p, carries_out
-
-
-@partial(jax.jit, static_argnames=("check_abundance",))
-def _judge_final_chunk(
-    pay, ng, bits, counts, size, abundance, rank_carry, totals,
-    *, check_abundance: bool,
-):
-    """keep/ids for one chunk + running rank carry and stat totals."""
-    is_rc = ((pay >> 16) & U32(1)) > 0
-    real = ((pay >> 17) & U32(1)) > 0
-
-    def popcount4(x):
-        return (
-            (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
-        ).astype(jnp.int32)
-
-    n_in = (counts & U32(0xFFFF)).astype(jnp.int32)
-    n_out = (counts >> 16).astype(jnp.int32)
-    indeg = popcount4(bits & U32(0xF)) + n_in
-    outdeg = popcount4((bits >> 8) & U32(0xF)) + n_out
-    keep = ((indeg > 1) | (outdeg > 1)) & real
-    if check_abundance:
-        keep = keep & (size.astype(jnp.uint64) <= abundance)
-    keep_first = ng & keep
-    rank = jnp.cumsum(keep_first.astype(jnp.int32)) + rank_carry
-    ids = jnp.where(keep, jnp.where(is_rc, -rank, rank), 0)
-    t_groups, t_junc, t_occ = totals
-    totals = (
-        t_groups + jnp.sum(ng & real, dtype=jnp.int64),
-        t_junc + jnp.sum(keep_first, dtype=jnp.int64),
-        t_occ + jnp.sum(keep, dtype=jnp.int64),
-    )
-    return keep, keep_first, ids, rank[-1], totals
-
-
-def judge_records_chunked(sw, pay, abundance, check_abundance: bool):
-    """Chunked equivalent of judge_records for large sorted arrays."""
-    from twopaco_tpu.ops import segments as sg
-
-    m = sw.shape[0]
-    chunk = min(JUDGE_CHUNK, m)
-    assert m % chunk == 0, "buffer must be a multiple of JUDGE_CHUNK"
-    n_chunks = m // chunk
-    sl = lambda a, c: a[c * chunk : (c + 1) * chunk]
-
-    ngs, prefs = [], []
-    prev_row = ~sw[0]  # differs from row 0 -> ng[0] True
-    carries = (U32(0), U32(0), U32(0))
-    for c in range(n_chunks):
-        ng, prev_row, p, carries = _judge_fwd_chunk(
-            sl(sw, c), sl(pay, c), prev_row, carries
-        )
-        ngs.append(ng)
-        prefs.append(p)
-
-    finals = [None] * n_chunks
-    next_carries = tuple(p[-1] for p in prefs[-1])
-    next_cont = jnp.asarray(False)
-    for c in range(n_chunks - 1, -1, -1):
-        fin, carry_prev, next_cont_c = sg._bwd_chunk(
-            prefs[c], ngs[c], next_carries, next_cont,
-            ops=("or", "satadd_u16x2", "add"),
-        )
-        finals[c] = fin
-        next_carries = carry_prev
-        next_cont = next_cont_c
-
-    keeps, keep_firsts, ids_parts = [], [], []
-    rank_carry = jnp.int32(0)
-    totals = (jnp.int64(0), jnp.int64(0), jnp.int64(0))
-    for c in range(n_chunks):
-        bits, counts, size = finals[c]
-        keep, keep_first, ids, rank_carry, totals = _judge_final_chunk(
-            sl(pay, c), ngs[c], bits, counts, size, abundance,
-            rank_carry, totals, check_abundance=check_abundance,
-        )
-        keeps.append(keep)
-        keep_firsts.append(keep_first)
-        ids_parts.append(ids)
-    keep = jnp.concatenate(keeps)
-    keep_first = jnp.concatenate(keep_firsts)
-    ids = jnp.concatenate(ids_parts)
-    n_groups, n_junc, n_occ = totals
-    return keep_first, keep, ids, n_groups, n_junc, n_occ
-
-
 _JUDGE_OPS = ("or", "satadd_u16x2", "add")
 
 
@@ -567,11 +458,12 @@ _JUDGE_OPS = ("or", "satadd_u16x2", "add")
 def judge_compact_fused(sw, pay, pos, abundance, *, check_abundance, chunk):
     """Whole-round judge + compaction as ONE dispatched program.
 
-    Semantics identical to judge_records_chunked +
-    compact_words_chunked + compact_flagged_chunked (tested equal), but
-    the host-looped chunk programs become lax.scan steps — per-round
-    host interaction drops from ~60 dispatches + whole-buffer fetches
-    to one dispatch + exact-slice fetches. Per-step footprint stays at
+    Semantics identical to judge_records followed by compacting the
+    junction-first rows / occurrence rows (engine-level byte-identity
+    is covered by test_engines_agree and the golden/differential
+    suites), but chunked as lax.scan steps — per-round host interaction drops
+    from ~60 dispatches + whole-buffer fetches to one dispatch +
+    exact-slice fetches. Per-step footprint stays at
     `chunk` rows so the remote XLA compiler never sees a multi-million
     element scan/sort.
 
@@ -707,88 +599,6 @@ def judge_compact_fused(sw, pay, pos, abundance, *, check_abundance, chunk):
     return tab_buf, op_buf, oi_buf, n_groups, n_junc, n_occ
 
 
-@jax.jit
-def _compact_chunk2(flag, a, b):
-    """Stable partition of one chunk: flagged rows first (2-key sort)."""
-    m = flag.shape[0]
-    cols = jax.lax.sort(
-        ((~flag).astype(U32), jnp.arange(m, dtype=U32), a, b), num_keys=2
-    )
-    return cols[2], cols[3], jnp.sum(flag, dtype=jnp.int32)
-
-
-@partial(jax.jit, donate_argnums=(0, 1))
-def _append2(buf_a, buf_b, a, b, offset):
-    buf_a = jax.lax.dynamic_update_slice(buf_a, a, (offset,))
-    buf_b = jax.lax.dynamic_update_slice(buf_b, b, (offset,))
-    return buf_a, buf_b
-
-
-def compact_flagged_chunked(flag, col_a, col_b, total: int):
-    """Compact two parallel columns by a flag, preserving order, with
-    bounded-size programs. Returns host arrays (a (total,), b (total,))."""
-    m = flag.shape[0]
-    chunk = min(JUDGE_CHUNK, m)
-    assert m % chunk == 0
-    n_chunks = m // chunk
-    pend = []
-    for c in range(n_chunks):
-        s = slice(c * chunk, (c + 1) * chunk)
-        pend.append(_compact_chunk2(flag[s], col_a[s], col_b[s]))
-    counts = np.asarray(jnp.stack([p[2] for p in pend]))
-    # pow2-bucketed buffer length: totals vary per round and would
-    # otherwise mint a fresh append/alloc program shape every round
-    buf_len = _bucket_cap(max(total, 1), m) + chunk
-    buf_a = jnp.zeros(buf_len, col_a.dtype)
-    buf_b = jnp.zeros(buf_len, col_b.dtype)
-    offset = 0
-    for (a, b, _c), cnt in zip(pend, counts):
-        buf_a, buf_b = _append2(buf_a, buf_b, a, b, jnp.int32(offset))
-        offset += int(cnt)
-    assert offset == total, (offset, total)
-    # fetch a pow2-bucketed slice, not the whole buffer (the tunnel is
-    # ~40-64 MB/s; whole-buffer fetches dominated round time)
-    cap = _bucket_cap(total, buf_len)
-    return np.asarray(buf_a[:cap])[:total], np.asarray(buf_b[:cap])[:total]
-
-
-@jax.jit
-def _compact_chunk_words(flag, words):
-    m, w = flag.shape[0], words.shape[1]
-    cols = jax.lax.sort(
-        ((~flag).astype(U32), jnp.arange(m, dtype=U32))
-        + tuple(words[:, i] for i in range(w)),
-        num_keys=2,
-    )
-    return jnp.stack(cols[2:], axis=-1), jnp.sum(flag, dtype=jnp.int32)
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _append_words(buf, wchunk, offset):
-    return jax.lax.dynamic_update_slice(buf, wchunk, (offset, jnp.int32(0)))
-
-
-def compact_words_chunked(flag, words, total: int) -> np.ndarray:
-    """Compact word rows by a flag, preserving order; host (total, w)."""
-    m = flag.shape[0]
-    chunk = min(JUDGE_CHUNK, m)
-    assert m % chunk == 0
-    pend = []
-    for c in range(m // chunk):
-        s = slice(c * chunk, (c + 1) * chunk)
-        pend.append(_compact_chunk_words(flag[s], words[s]))
-    counts = np.asarray(jnp.stack([p[1] for p in pend]))
-    buf_len = _bucket_cap(max(total, 1), m) + chunk
-    buf = jnp.zeros((buf_len, words.shape[1]), words.dtype)
-    offset = 0
-    for (wc, _c), cnt in zip(pend, counts):
-        buf = _append_words(buf, wc, jnp.int32(offset))
-        offset += int(cnt)
-    assert offset == total, (offset, total)
-    cap = _bucket_cap(total, buf_len)
-    return np.asarray(buf[:cap])[:total]
-
-
 def _stream_single_round(dev_batches, buf_slots, cfg, *, wide=False):
     """Single-round buffer: stream every batch through
     build_sort_records with direct whole-batch appends — rows land at
@@ -883,7 +693,7 @@ def _stack_batches(dev_batches, P: int, wide: bool):
     return codes_st, valid_st, base_st
 
 
-def _finish_round(sw, pay, pos, abundance, check_ab, chunk, w):
+def _finish_round(sw, pay, pos, abundance, check_ab, chunk):
     """Judge + compact one sorted round on device (single dispatch).
 
     Fetches only the three 8-byte counts (which forces the round's
@@ -1154,6 +964,47 @@ class _Checkpoint(RoundCheckpoint):
             )
 
 
+def _complete_checkpoint_intervals(
+    directory, config: PipelineConfig, n_slots, fingerprint
+):
+    """Intervals of a COMPLETE matching checkpoint, else None.
+
+    'Matching' = the stored meta.json equals what this run would write
+    for every key EXCEPT the interval list itself (which is exactly the
+    data being recovered — it can differ from a fresh split when the
+    resident partition re-split on overflow); 'complete' = a
+    round_<r>.npz exists for every stored interval."""
+    import json
+
+    meta_path = os.path.join(directory, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return None
+    ivs = meta.get("intervals")
+    if not ivs:
+        return None
+    probe = dict(
+        k=config.k,
+        abundance=config.abundance,
+        n_slots=int(n_slots),
+        intervals=ivs,
+        fingerprint=fingerprint,
+        version=2,
+    )
+    if meta != probe:
+        return None
+    if not all(
+        os.path.exists(os.path.join(directory, f"round_{r}.npz"))
+        for r in range(len(ivs))
+    ):
+        return None
+    return [tuple(iv) for iv in ivs]
+
+
 def build_junctions_sorted(
     input_paths: Sequence[str] | None,
     config: PipelineConfig,
@@ -1273,23 +1124,54 @@ def build_junctions_sorted(
             # much more at Gbase scale where it absorbs the H2D wait).
             # The reference's counter pass is vertexenumerator.h:503-583.
             hist = np.ones(1 << bin_pow, np.int64)
-            stats.timings["hist"] = time.time() - t0
+            stats.timings["hist"] = time.time() - t0 - stats.timings[
+                "hist_stack"
+            ]
         else:
             # sample ~2^23 positions: ~1% interval-mass accuracy
             hist_stride = max(1, 1 << max(0, n_slots.bit_length() - 24))
+            t1 = time.time()
             hist_d = _histogram_scan(
                 stacked[0], stacked[1],
                 cfg=cfg, bin_pow=bin_pow, stride=hist_stride,
             )
-            stats.timings["hist_dispatch"] = time.time() - t0
+            stats.timings["hist_dispatch"] = time.time() - t1
             hist = np.asarray(hist_d)
-            stats.timings["hist"] = time.time() - t0
+            stats.timings["hist"] = time.time() - t1
+
+    # input fingerprint early: the resident resume fast path below
+    # needs it before the checkpoint object exists
+    fingerprint = None
+    if checkpoint_dir is not None:
+        fingerprint = _input_fingerprint(input_paths, sequences)
 
     parts_w = parts_pay = parts_pos = None
     groups = None  # grouped-resident plan (records exceed HBM budget)
     n_inner = 0
+    resumed_all = False
     t0 = time.time()
-    if resident:
+    if resident and checkpoint_dir is not None:
+        # resume fast path: a COMPLETE matching checkpoint already
+        # holds the final (overflow-resplit) intervals — restore every
+        # round without paying the full-input partition scan, the
+        # dominant device phase of a resident build
+        resume_iv = _complete_checkpoint_intervals(
+            checkpoint_dir, config, n_slots, fingerprint
+        )
+        if resume_iv is not None:
+            intervals = resume_iv
+            buf_slots = padded_buf  # unused: every round restores
+            del dev_batches, stacked
+            stacked = None
+            resident = False  # the round loop must not touch parts
+            resumed_all = True
+            log(
+                f"All {len(intervals)} resident rounds checkpointed — "
+                "skipping partition"
+            )
+    if resumed_all:
+        pass
+    elif resident:
         # R from the buffer's full capacity (no append headroom needed)
         n_rounds = max(
             config.rounds,
@@ -1359,9 +1241,15 @@ def build_junctions_sorted(
             f"{len(groups)} resident groups, block cap {part_cap})"
         )
     elif n_rounds > 1:
-        intervals = _split_rounds(hist, n_rounds, bin_pow)
+        # drop inverted (empty) intervals a skewed sampled histogram
+        # can produce — each would dispatch a full zero-record round
+        intervals = [
+            iv
+            for iv in _split_rounds(hist, n_rounds, bin_pow)
+            if iv[0] <= iv[1]
+        ]
         buf_slots = padded_buf
-        log(f"Splitting the input kmers set ({n_rounds} rounds)")
+        log(f"Splitting the input kmers set ({len(intervals)} rounds)")
     else:
         intervals = [(0, 0xFFFFFFFF)]
         # single round: direct whole-batch appends fill exactly n_slots
@@ -1376,9 +1264,6 @@ def build_junctions_sorted(
     # checkpoint/resume at round boundaries (the reference keeps
     # intermediate files but has no resume, SURVEY.md §5); rounds are
     # deterministic so completed ones can be reloaded verbatim
-    fingerprint = None
-    if checkpoint_dir is not None:
-        fingerprint = _input_fingerprint(input_paths, sequences)
     ckpt = _Checkpoint(
         checkpoint_dir, config, n_slots, intervals, fingerprint
     )
@@ -1452,6 +1337,13 @@ def build_junctions_sorted(
             stats.rounds.append(rstats)
             log(f"Round {r}: restored from checkpoint")
             continue
+        if resumed_all:
+            # _complete_checkpoint_intervals saw every round file; one
+            # vanishing mid-resume must not fall through to a compute
+            # path whose inputs (stacked/parts) were already released
+            raise RuntimeError(
+                f"checkpoint round {r} disappeared during resume"
+            )
         log(f"Round {r}, {low}:{high}")
         t0 = time.time()
         if resident or groups is not None:
@@ -1482,7 +1374,7 @@ def build_junctions_sorted(
 
         t0 = time.time()
         tab_d, op_d, oi_d, n_groups, n_junc, n_occ = _finish_round(
-            sw, pay, pos, abundance_d, check_ab, judge_chunk, cfg.w
+            sw, pay, pos, abundance_d, check_ab, judge_chunk
         )
         spec = (
             _occ_pack_spec(n_junc, n_occ, n_slots) if n_occ > 0 else None
@@ -1719,6 +1611,10 @@ def merge_rounds_packed(
                     f"occurrence id out of range: max index "
                     f"{int(idx.max())} >= table size {len(remap)}"
                 )
+            # id 0 is invalid too (|0|-1 = -1 would clip to junction
+            # 0 silently; the packed path catches it via u32 wrap)
+            if int(idx.min(initial=0)) < 0:
+                raise RuntimeError("occurrence id 0 (corrupt round)")
             gid = np.take(
                 remap, idx, out=big_empty(n, np.int64), mode="clip"
             )
